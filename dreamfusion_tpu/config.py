@@ -1,0 +1,208 @@
+"""Configuration for dreamfusion_tpu.
+
+One dataclass replaces the reference's argparse namespace (reference:
+main.py:12-73). The ``-O`` / ``-O2`` presets are preserved (main.py:75-84):
+``-O``  = mixed precision + occupancy-grid raymarching + view-dependent text,
+``-O2`` = mixed precision + view-dependent text (dense stratified renderer).
+
+On TPU, "fp16 + GradScaler" becomes plain bf16 compute (no scaler needed),
+and "cuda_ray" becomes the occupancy-grid renderer (renderer path B).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class Config:
+    # -- experiment ---------------------------------------------------------
+    text: Optional[str] = None          # text prompt
+    negative: str = ""                  # negative text prompt
+    workspace: str = "workspace"
+    seed: int = 0
+    test: bool = False                  # test mode (no training)
+    save_mesh: bool = False             # export textured mesh after test
+    eval_interval: int = 10             # eval every N epochs
+    guidance: str = "stable-diffusion"  # 'stable-diffusion' | 'clip' | 'none'
+    ckpt: str = "latest"                # latest | best | scratch | <path>
+
+    # -- training -----------------------------------------------------------
+    iters: int = 10000
+    lr: float = 1e-3
+    batch_size: int = 1                 # cameras per step (reference is 1; TPU batches)
+    grid_ray: bool = False              # occupancy-grid renderer ("cuda_ray" analog)
+    max_steps: int = 512                # max marching steps/ray (grid_ray)
+    num_steps: int = 64                 # coarse samples/ray (stratified renderer)
+    upsample_steps: int = 64            # importance samples/ray (stratified renderer)
+    update_extra_interval: int = 16     # occupancy grid refresh interval
+    max_ray_batch: int = 4096           # inference ray chunk ("staged" rendering)
+    albedo_iters: int = 1000            # albedo-only shading warmup
+    uniform_sphere_rate: float = 0.5
+    grid_K: int = 128                   # compacted samples/ray kept for the field
+                                        # query in the grid_ray train path (TPU
+                                        # static-shape analog of mean_count)
+    # -- model ---------------------------------------------------------------
+    backbone: str = "grid"              # 'grid' | 'vanilla' | 'dvgo'
+    bg_radius: float = 1.4              # >0: learned background on a sphere
+    density_thresh: float = 10.0
+    fp16: bool = True                   # bf16 compute on TPU
+    # editing mode: path to pretrained DVGO checkpoint (backbone='dvgo');
+    # geometry is frozen, only the color MLP trains (reference: network.py:224-312)
+    pretrained_dvgo: Optional[str] = None
+
+    # -- render resolution ----------------------------------------------------
+    w: int = 64                         # train render width
+    h: int = 64                         # train render height
+    W: int = 800                        # eval/test render width
+    H: int = 800                        # eval/test render height
+    jitter_pose: bool = False
+
+    # -- scene / dataset -------------------------------------------------------
+    bound: float = 1.0
+    dt_gamma: float = 0.0
+    min_near: float = 0.1
+    radius_range: Tuple[float, float] = (1.0, 1.5)
+    fovy_range: Tuple[float, float] = (40.0, 70.0)
+    dir_text: bool = False
+    suppress_face: bool = False
+    angle_overhead: float = 30.0
+    angle_front: float = 60.0
+
+    # -- losses ---------------------------------------------------------------
+    lambda_entropy: float = 1e-4
+    lambda_opacity: float = 0.0
+    lambda_orient: float = 1e-2
+    lambda_smooth: float = 0.0
+
+    # -- guidance -------------------------------------------------------------
+    guidance_scale: float = 100.0       # CFG scale for SDS (reference: sd.py:74)
+    sd_weights: Optional[str] = None    # path to converted SD v1.5 flax weights
+    clip_weights: Optional[str] = None  # path/name of CLIP weights
+
+    # -- optimizer --------------------------------------------------------------
+    optimizer: str = "adam"             # 'adam' | 'shampoo'
+    adam_b1: float = 0.9
+    adam_b2: float = 0.99
+    adam_eps: float = 1e-15
+    ema_decay: Optional[float] = None
+
+    # -- eval/test --------------------------------------------------------------
+    test_size: int = 100                # frames in the 360° test orbit
+    val_size: int = 5
+    dataset_size: int = 100             # steps per "epoch"
+    max_keep_ckpt: int = 2
+
+    # -- parallelism --------------------------------------------------------------
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None = all devices on 'data'
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+    # ---------------------------------------------------------------------------
+
+    @property
+    def cascade(self) -> int:
+        import math
+
+        return 1 + math.ceil(math.log2(max(self.bound, 1.0)))
+
+    @property
+    def grid_size(self) -> int:
+        return 128
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def presets_O(cfg: "Config") -> "Config":
+        """-O: bf16 + occupancy-grid marching + dir text (main.py:75-79)."""
+        return cfg.replace(fp16=True, dir_text=True, grid_ray=True)
+
+    @staticmethod
+    def presets_O2(cfg: "Config") -> "Config":
+        """-O2: bf16 + dir text, stratified renderer (main.py:81-84)."""
+        return cfg.replace(fp16=True, dir_text=True)
+
+    def finalize(self) -> "Config":
+        """Apply backbone-conditional defaults (main.py:86-89)."""
+        cfg = self
+        if cfg.backbone == "vanilla":
+            cfg = cfg.replace(lambda_entropy=0.0, lambda_opacity=1e-3)
+        return cfg
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    """CLI mirroring the reference flags (main.py:12-73)."""
+    p = argparse.ArgumentParser("dreamfusion_tpu")
+    defaults = Config()
+    p.add_argument("--text", default=None)
+    p.add_argument("--negative", default="", type=str)
+    p.add_argument("-O", action="store_true", help="preset: bf16 + grid_ray + dir_text")
+    p.add_argument("-O2", action="store_true", help="preset: bf16 + dir_text")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--save_mesh", action="store_true")
+    p.add_argument("--eval_interval", type=int, default=defaults.eval_interval)
+    p.add_argument("--workspace", type=str, default=defaults.workspace)
+    p.add_argument("--guidance", type=str, default=defaults.guidance)
+    p.add_argument("--seed", type=int, default=defaults.seed)
+    p.add_argument("--iters", type=int, default=defaults.iters)
+    p.add_argument("--lr", type=float, default=defaults.lr)
+    p.add_argument("--ckpt", type=str, default=defaults.ckpt)
+    p.add_argument("--grid_ray", "--cuda_ray", dest="grid_ray", action="store_true",
+                   help="occupancy-grid accelerated marching (the 'cuda_ray' analog)")
+    p.add_argument("--max_steps", type=int, default=defaults.max_steps)
+    p.add_argument("--num_steps", type=int, default=defaults.num_steps)
+    p.add_argument("--upsample_steps", type=int, default=defaults.upsample_steps)
+    p.add_argument("--update_extra_interval", type=int, default=defaults.update_extra_interval)
+    p.add_argument("--max_ray_batch", type=int, default=defaults.max_ray_batch)
+    p.add_argument("--albedo_iters", type=int, default=defaults.albedo_iters)
+    p.add_argument("--uniform_sphere_rate", type=float, default=defaults.uniform_sphere_rate)
+    p.add_argument("--grid_K", type=int, default=defaults.grid_K)
+    p.add_argument("--bg_radius", type=float, default=defaults.bg_radius)
+    p.add_argument("--density_thresh", type=float, default=defaults.density_thresh)
+    p.add_argument("--fp16", action="store_true")
+    p.add_argument("--backbone", type=str, default=defaults.backbone)
+    p.add_argument("--pretrained_dvgo", type=str, default=None)
+    p.add_argument("--sd_weights", type=str, default=None)
+    p.add_argument("--clip_weights", type=str, default=None)
+    p.add_argument("--batch_size", type=int, default=defaults.batch_size)
+    p.add_argument("--w", type=int, default=defaults.w)
+    p.add_argument("--h", type=int, default=defaults.h)
+    p.add_argument("--jitter_pose", action="store_true")
+    p.add_argument("--bound", type=float, default=defaults.bound)
+    p.add_argument("--dt_gamma", type=float, default=defaults.dt_gamma)
+    p.add_argument("--min_near", type=float, default=defaults.min_near)
+    p.add_argument("--radius_range", type=float, nargs="*", default=list(defaults.radius_range))
+    p.add_argument("--fovy_range", type=float, nargs="*", default=list(defaults.fovy_range))
+    p.add_argument("--dir_text", action="store_true")
+    p.add_argument("--suppress_face", action="store_true")
+    p.add_argument("--angle_overhead", type=float, default=defaults.angle_overhead)
+    p.add_argument("--angle_front", type=float, default=defaults.angle_front)
+    p.add_argument("--lambda_entropy", type=float, default=defaults.lambda_entropy)
+    p.add_argument("--lambda_opacity", type=float, default=defaults.lambda_opacity)
+    p.add_argument("--lambda_orient", type=float, default=defaults.lambda_orient)
+    p.add_argument("--lambda_smooth", type=float, default=defaults.lambda_smooth)
+    p.add_argument("--guidance_scale", type=float, default=defaults.guidance_scale)
+    p.add_argument("--W", type=int, default=defaults.W)
+    p.add_argument("--H", type=int, default=defaults.H)
+    return p
+
+
+def parse_config(argv: Optional[List[str]] = None) -> Config:
+    p = build_argparser()
+    ns = p.parse_args(argv)
+    kw = {}
+    cfg_fields = {f.name for f in dataclasses.fields(Config)}
+    for k, v in vars(ns).items():
+        if k in cfg_fields:
+            if k in ("radius_range", "fovy_range"):
+                v = tuple(v)
+            kw[k] = v
+    cfg = Config(**kw)
+    if ns.O:
+        cfg = Config.presets_O(cfg)
+    elif ns.O2:
+        cfg = Config.presets_O2(cfg)
+    return cfg.finalize()

@@ -1,0 +1,207 @@
+"""Multiresolution hash/tiled grid encoder (instant-ngp style), TPU-native.
+
+Replaces the reference's gridencoder CUDA extension
+(gridencoder/src/gridencoder.cu + gridencoder/grid.py) with a pure-JAX
+implementation whose numerics match the CUDA kernel exactly:
+
+- per-level scale      = exp2(level * log2(per_level_scale)) * H - 1
+  resolution           = ceil(scale) + 1                    (gridencoder.cu:125-126)
+- sample position      = x01 * scale + 0.5 (align_corners=False), floor/frac
+  corners interpolated (tri)linearly                         (gridencoder.cu:133-167)
+- index: linear strides while stride <= hashmap_size, stride multiplier
+  (resolution + 1); spatial hash (prime-XOR, uint32 wrap) when the dense
+  index space exceeds the per-level table ('hash' type only); final
+  `index % hashmap_size`                                     (gridencoder.cu:35-72)
+- per-level table sizes capped at 2**log2_hashmap_size and rounded up to a
+  multiple of 8; flat [total, C] parameter table with static offsets
+  (grid.py:110-124); init U(-1e-4, 1e-4) (grid.py:131-133)
+- out-of-[0,1] inputs produce zeros                          (gridencoder.cu:96-110)
+
+Gradient story: the reference hand-writes two backward kernels — a scatter-add
+into grad_embeddings and a dy_dx-based input gradient (gridencoder.cu:238-330).
+Here both come from JAX autodiff: the transpose of the corner `take` IS the
+scatter-add (deterministic on TPU — an upgrade over CUDA atomics), and since
+`floor` has zero gradient, d(frac)/d(x) = scale reproduces the reference's
+dy_dx convention (corner selection treated as constant).
+
+The forward/backward pair is jittable and static-shaped; all the per-level
+stride/hash decisions are resolved at trace time because table geometry is
+static. A Pallas VMEM-resident kernel can later replace the gathers; this
+implementation remains the golden oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
+_U32 = (1 << 32) - 1
+
+
+def _level_geometry(num_levels, base_resolution, per_level_scale, log2_hashmap_size,
+                    input_dim, align_corners):
+    """Static per-level (scale, resolution, hashmap_size, offset) table."""
+    max_params = 2 ** log2_hashmap_size
+    S = math.log2(per_level_scale)
+    scales, resolutions, sizes, offsets = [], [], [], []
+    offset = 0
+    for lvl in range(num_levels):
+        scale = math.exp2(lvl * S) * base_resolution - 1.0
+        resolution = int(math.ceil(scale)) + 1
+        # table size bookkeeping follows grid.py:114-119 (its own resolution
+        # formula, ceil(H * ps^l), equals `resolution` above for all levels)
+        res_alloc = int(math.ceil(base_resolution * per_level_scale ** lvl))
+        params = min(max_params,
+                     (res_alloc if align_corners else res_alloc + 1) ** input_dim)
+        params = int(math.ceil(params / 8) * 8)
+        scales.append(scale)
+        resolutions.append(resolution)
+        sizes.append(params)
+        offsets.append(offset)
+        offset += params
+    return scales, resolutions, sizes, offsets, offset
+
+
+@dataclass(frozen=True)
+class GridEncoderSpec:
+    """Static geometry + pure apply function for the grid encoder.
+
+    Mirrors GridEncoder.__init__ (reference: gridencoder/grid.py:92-133).
+    """
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    per_level_scale: float = 2.0
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    desired_resolution: Optional[float] = None
+    gridtype: str = "hash"      # 'hash' | 'tiled'
+    align_corners: bool = False
+
+    def __post_init__(self):
+        if self.desired_resolution is not None:
+            pls = math.exp2(math.log2(self.desired_resolution / self.base_resolution)
+                            / (self.num_levels - 1))
+            object.__setattr__(self, "per_level_scale", pls)
+            object.__setattr__(self, "desired_resolution", None)
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    @property
+    def geometry(self):
+        return _level_geometry(self.num_levels, self.base_resolution,
+                               self.per_level_scale, self.log2_hashmap_size,
+                               self.input_dim, self.align_corners)
+
+    @property
+    def table_size(self) -> int:
+        return self.geometry[4]
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> jax.Array:
+        """Flat [total, level_dim] embedding table, U(-1e-4, 1e-4)."""
+        return jax.random.uniform(key, (self.table_size, self.level_dim),
+                                  minval=-1e-4, maxval=1e-4, dtype=dtype)
+
+    # -- static index math (trace-time python, exact uint32 semantics) --------
+
+    def _corner_index_fn(self, level: int):
+        """Returns fn(corner_coords [..., D] uint32) -> flat row index [...]
+        implementing get_grid_index (gridencoder.cu:54-72) for one level."""
+        scales, resolutions, sizes, offsets, _ = self.geometry
+        resolution = resolutions[level]
+        hashmap_size = sizes[level]
+        offset = offsets[level]
+        D = self.input_dim
+        stride_mult = resolution if self.align_corners else resolution + 1
+
+        # replicate the stride loop: add dims while stride <= hashmap_size
+        stride = 1
+        dims_in_linear = []
+        strides = []
+        for d in range(D):
+            if stride > hashmap_size:
+                break
+            dims_in_linear.append(d)
+            strides.append(stride)
+            stride = (stride * stride_mult) & _U32
+        use_hash = (self.gridtype == "hash") and (stride > hashmap_size)
+
+        def index_fn(coords: jax.Array) -> jax.Array:
+            coords = coords.astype(jnp.uint32)
+            if use_hash:
+                idx = jnp.zeros(coords.shape[:-1], jnp.uint32)
+                for d in range(D):
+                    idx = idx ^ (coords[..., d] * jnp.uint32(_PRIMES[d] & _U32))
+            else:
+                idx = jnp.zeros(coords.shape[:-1], jnp.uint32)
+                for d, s in zip(dims_in_linear, strides):
+                    idx = idx + coords[..., d] * jnp.uint32(s)
+            idx = idx % jnp.uint32(hashmap_size)
+            return idx.astype(jnp.int32) + offset
+
+        return index_fn
+
+    # -- forward ---------------------------------------------------------------
+
+    def __call__(self, embeddings: jax.Array, inputs: jax.Array,
+                 bound: float = 1.0) -> jax.Array:
+        """Encode positions in [-bound, bound] -> [..., L*C] features.
+
+        (reference: grid.py:138-153 — maps to [0,1] then calls the kernel.)
+        """
+        prefix = inputs.shape[:-1]
+        x = inputs.reshape(-1, self.input_dim).astype(jnp.float32)
+        x01 = (x + bound) / (2.0 * bound)
+
+        oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # [B]
+
+        scales, resolutions, sizes, offsets, total = self.geometry
+        D = self.input_dim
+        C = self.level_dim
+        n_corners = 1 << D
+        B = x01.shape[0]
+
+        all_idx = []      # per level [B, 2^D]
+        all_w = []        # per level [B, 2^D]
+        for lvl in range(self.num_levels):
+            scale = scales[lvl]
+            pos = x01 * scale + (0.0 if self.align_corners else 0.5)
+            pos_grid = jnp.floor(pos)
+            frac = pos - pos_grid  # d(frac)/dx = scale (floor has zero grad)
+            pos_grid = pos_grid.astype(jnp.uint32)
+
+            index_fn = self._corner_index_fn(lvl)
+            idx_corners = []
+            w_corners = []
+            for corner in range(n_corners):
+                w = jnp.ones((B,), jnp.float32)
+                cc = []
+                for d in range(D):
+                    if (corner >> d) & 1:
+                        w = w * frac[:, d]
+                        cc.append(pos_grid[:, d] + 1)
+                    else:
+                        w = w * (1.0 - frac[:, d])
+                        cc.append(pos_grid[:, d])
+                coords = jnp.stack(cc, axis=-1)
+                idx_corners.append(index_fn(coords))
+                w_corners.append(w)
+            all_idx.append(jnp.stack(idx_corners, axis=-1))
+            all_w.append(jnp.stack(w_corners, axis=-1))
+
+        idx = jnp.stack(all_idx, axis=1)   # [B, L, 2^D]
+        w = jnp.stack(all_w, axis=1)       # [B, L, 2^D]
+
+        vals = jnp.take(embeddings, idx.reshape(-1), axis=0)
+        vals = vals.reshape(B, self.num_levels, n_corners, C)
+        out = jnp.sum(vals * w[..., None].astype(vals.dtype), axis=2)  # [B, L, C]
+        out = jnp.where(oob[:, None, None], 0.0, out)
+        return out.reshape(*prefix, self.num_levels * C)
