@@ -1,0 +1,89 @@
+"""End-to-end training slice: tiny config, CLIP (random-tiny) guidance,
+stratified renderer — BASELINE.json config 1 analog, CPU-viable."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamfusion_tpu.config import Config
+from dreamfusion_tpu.guidance import build_guidance, none_guidance
+from dreamfusion_tpu.models import build_model
+from dreamfusion_tpu.training.trainer import Trainer
+
+
+def _tiny_cfg(tmp_path, **kw):
+    base = dict(text="a red cube", guidance="clip", clip_weights="random-tiny",
+                iters=4, h=16, w=16, H=24, W=24, num_steps=12,
+                upsample_steps=12, backbone="vanilla", dir_text=True,
+                albedo_iters=2, lambda_orient=1e-2, lambda_opacity=1e-3,
+                lambda_entropy=1e-4, workspace=str(tmp_path / "ws"),
+                eval_interval=1000, max_ray_batch=24 * 24, seed=0)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_train_loss_decreases_and_params_move(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    trainer = Trainer("t", cfg, use_checkpoint="scratch")
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), trainer.state.params)
+    trainer.train(max_steps=4, log_interval=1)
+    assert int(trainer.state.step) == 4
+    # params actually moved
+    moved = jax.tree_util.tree_leaves(
+        jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+                     trainer.state.params, p0))
+    assert max(moved) > 0
+    # log written
+    assert os.path.exists(trainer.log_path)
+    import json
+
+    recs = [json.loads(l) for l in open(trainer.log_path)]
+    assert all(np.isfinite(r["loss"]) for r in recs)
+
+
+def test_shading_schedule_codes(tmp_path):
+    from dreamfusion_tpu.training.trainer import _shading_schedule
+
+    # before albedo_iters: always albedo
+    code, ratio = _shading_schedule(jax.random.PRNGKey(0), jnp.int32(0), 100)
+    assert int(code) == 0 and float(ratio) == 1.0
+    # after: distribution over {0, 1, 2} with ratio 0.1 for shaded
+    codes = [int(_shading_schedule(jax.random.PRNGKey(i), jnp.int32(200), 100)[0])
+             for i in range(40)]
+    assert set(codes) <= {0, 1, 2}
+    assert 1 in codes and 2 in codes
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_cfg(tmp_path, guidance="none")
+    trainer = Trainer("t", cfg, guidance=none_guidance(), use_checkpoint="scratch")
+    trainer.train(max_steps=2, log_interval=1)
+    path = trainer.save_checkpoint()
+    assert os.path.exists(path)
+
+    trainer2 = Trainer("t", cfg, guidance=none_guidance(), use_checkpoint="latest")
+    assert int(trainer2.state.step) == 2
+    a = jax.tree_util.tree_leaves(trainer.state.params)
+    b = jax.tree_util.tree_leaves(trainer2.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_eval_and_test_write_frames(tmp_path):
+    cfg = _tiny_cfg(tmp_path, guidance="none", H=16, W=16)
+    trainer = Trainer("t", cfg, guidance=none_guidance(), use_checkpoint="scratch")
+    trainer.evaluate(step=0, size=1)
+    vdir = os.path.join(trainer.workspace, "validation")
+    assert any(f.endswith("_rgb.png") for f in os.listdir(vdir))
+    trainer.test(size=2, write_video=True)
+    tdir = os.path.join(trainer.workspace, "results")
+    assert any(f.endswith("_rgb.png") for f in os.listdir(tdir))
+
+
+def test_dir_text_embeddings_shape(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    trainer = Trainer("t", cfg, use_checkpoint="scratch")
+    assert trainer.text_z.shape[0] == 6  # front/side/back/side/overhead/bottom
