@@ -45,6 +45,8 @@ class Config:
     grid_K: int = 128                   # compacted samples/ray kept for the field
                                         # query in the grid_ray train path (TPU
                                         # static-shape analog of mean_count)
+    grid_size: int = 128                # occupancy grid resolution per cascade
+    grid_decay: float = 0.95            # occupancy EMA decay (renderer.py:563)
     # -- model ---------------------------------------------------------------
     backbone: str = "grid"              # 'grid' | 'vanilla' | 'dvgo'
     bg_radius: float = 1.4              # >0: learned background on a sphere
@@ -108,10 +110,6 @@ class Config:
 
         return 1 + math.ceil(math.log2(max(self.bound, 1.0)))
 
-    @property
-    def grid_size(self) -> int:
-        return 128
-
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
@@ -160,6 +158,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--albedo_iters", type=int, default=defaults.albedo_iters)
     p.add_argument("--uniform_sphere_rate", type=float, default=defaults.uniform_sphere_rate)
     p.add_argument("--grid_K", type=int, default=defaults.grid_K)
+    p.add_argument("--grid_size", type=int, default=defaults.grid_size)
+    p.add_argument("--grid_decay", type=float, default=defaults.grid_decay)
+    p.add_argument("--test_size", type=int, default=defaults.test_size)
+    p.add_argument("--val_size", type=int, default=defaults.val_size)
+    p.add_argument("--dataset_size", type=int, default=defaults.dataset_size)
+    p.add_argument("--ema_decay", type=float, default=None)
+    p.add_argument("--optimizer", type=str, default=defaults.optimizer)
+    p.add_argument("--max_keep_ckpt", type=int, default=defaults.max_keep_ckpt)
     p.add_argument("--bg_radius", type=float, default=defaults.bg_radius)
     p.add_argument("--density_thresh", type=float, default=defaults.density_thresh)
     p.add_argument("--fp16", action="store_true")

@@ -1,0 +1,134 @@
+"""Score Distillation Sampling as a single scalar loss.
+
+The reference implements SDS with a manual two-phase backward: it computes
+grad = w(t) * (eps_hat - eps) under no_grad and calls
+latents.backward(gradient=grad) inside guidance.train_step, returning a dummy
+0 loss (nerf/sd.py:74-118). On TPU we express the SAME gradient as one
+differentiable scalar:
+
+    loss_sds = sum( stop_gradient(w * (eps_hat - eps)) * latents )
+
+whose d(loss)/d(latents) is exactly w*(eps_hat-eps), so a single jax.grad of
+(loss_sds + regularizers) reproduces the reference's update. Equivalence is
+unit-tested in tests/test_sd.py.
+
+Pipeline per step (nerf/sd.py:74-118):
+  render [B,h,w,3] -> bilinear resize 512 -> VAE encode (WITH grad) *0.18215
+  -> t ~ U[20, 980] -> add noise -> UNet CFG (scale 100) [no grad]
+  -> w = 1 - alphas_cumprod[t] -> loss as above.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dreamfusion_tpu.guidance import Guidance
+from dreamfusion_tpu.guidance.sd.scheduler import (DiffusionSchedule,
+                                                   add_noise, make_schedule)
+from dreamfusion_tpu.guidance.sd.unet import UNet2DCondition, sd15_unet, tiny_unet
+from dreamfusion_tpu.guidance.sd.vae import AutoencoderKL, sd15_vae, tiny_vae
+
+LATENT_SCALE = 0.18215  # nerf/sd.py:162
+
+
+def sds_loss(unet: UNet2DCondition, vae: AutoencoderKL,
+             sched: DiffusionSchedule, params: Dict[str, Any],
+             text_z: jax.Array, pred_rgb: jax.Array, key: jax.Array,
+             guidance_scale: float = 100.0, min_step: int = 20,
+             max_step: int = 980, latent_size: int = 64) -> jax.Array:
+    """text_z: [B, 2, 77, D] (uncond, cond); pred_rgb: [B, H, W, 3] in [0,1]."""
+    B = pred_rgb.shape[0]
+    k_enc, k_t, k_noise = jax.random.split(key, 3)
+
+    size = latent_size * 8
+    img = jax.image.resize(pred_rgb, (B, size, size, 3), "bilinear")
+    latents = vae.apply(params["vae"], 2.0 * img - 1.0, k_enc,
+                        method=vae.encode) * LATENT_SCALE
+
+    t = jax.random.randint(k_t, (B,), min_step, max_step + 1)
+    noise = jax.random.normal(k_noise, latents.shape)
+
+    sg = jax.lax.stop_gradient
+    latents_noisy = add_noise(sched, sg(latents), noise, t)
+    lat_in = jnp.concatenate([latents_noisy, latents_noisy], axis=0)
+    t_in = jnp.concatenate([t, t], axis=0)
+    ctx = jnp.concatenate([text_z[:, 0], text_z[:, 1]], axis=0)  # [2B, 77, D]
+    eps = unet.apply(params["unet"], lat_in, t_in, ctx)
+    eps_uncond, eps_text = eps[:B], eps[B:]
+    eps_hat = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+
+    w = (1.0 - sched.alphas_cumprod[t]).reshape(B, 1, 1, 1)
+    grad = sg(w * (eps_hat - noise))
+    return jnp.sum(grad * latents)
+
+
+def build_sd_guidance(weights: Optional[str] = None,
+                      guidance_scale: float = 100.0,
+                      dtype=jnp.float32) -> Guidance:
+    """weights: path to a converted flax checkpoint (convert.py), a local
+    diffusers-format SD directory, or None/'random-tiny'/'random-full' for
+    randomly initialized models (offline tests / true-scale benchmarks)."""
+    tiny = weights in (None, "random-tiny")
+    if tiny:
+        unet, vae = tiny_unet(), tiny_vae()
+        latent_size = 8   # 64px images
+        text_dim = unet.cross_attention_dim
+        text_params = None
+    elif weights == "random-full":
+        unet, vae = sd15_unet(dtype=dtype), sd15_vae(dtype=dtype)
+        latent_size = 64
+        text_dim = 768
+        text_params = None
+    else:
+        unet, vae = sd15_unet(dtype=dtype), sd15_vae(dtype=dtype)
+        latent_size = 64
+        text_dim = 768
+        text_params = "load"
+
+    sched = make_schedule()
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    lat = jnp.zeros((1, latent_size, latent_size, 4))
+    img = jnp.zeros((1, latent_size * 8, latent_size * 8, 3))
+    ctx = jnp.zeros((1, 77, text_dim))
+
+    if text_params == "load":
+        from dreamfusion_tpu.guidance.sd.convert import load_sd_params
+
+        params, text_encode = load_sd_params(weights, unet, vae)
+    else:
+        params = {
+            "unet": unet.init(k1, lat, jnp.zeros((1,), jnp.int32), ctx),
+            "vae": vae.init(k2, img, k2),
+        }
+        text_encode = None
+
+    def get_text_embeds(prompts, negatives):
+        """[n] prompts -> [n, 2, 77, D] stacked (uncond, cond)
+        (reference cats [uncond, cond], nerf/sd.py:70)."""
+        if text_encode is not None:
+            cond = text_encode(list(prompts))
+            uncond = text_encode(list(negatives))
+        else:  # random-weight mode: deterministic pseudo-embeddings
+            import hashlib
+
+            def fake(ps):
+                outs = []
+                for p in ps:
+                    seed = int(hashlib.md5(p.encode()).hexdigest()[:8], 16)
+                    outs.append(jax.random.normal(jax.random.PRNGKey(seed),
+                                                  (77, text_dim)))
+                return jnp.stack(outs)
+            cond, uncond = fake(list(prompts)), fake(list(negatives))
+        return jnp.stack([uncond, cond], axis=1)
+
+    def loss(params, text_z, pred_rgb, key):
+        return sds_loss(unet, vae, sched, params, text_z, pred_rgb, key,
+                        guidance_scale=guidance_scale,
+                        latent_size=latent_size)
+
+    return Guidance(name="stable-diffusion", params=params,
+                    get_text_embeds=get_text_embeds, loss=loss)

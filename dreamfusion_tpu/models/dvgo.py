@@ -1,0 +1,273 @@
+"""DVGO (Direct Voxel Grid Optimization) fields, TPU-native.
+
+Rebuilds the reference's DVGO model family core
+(frameworks/nerf/modules/dvgo_coarse.py, dvgo_fine.py):
+
+- dense voxel grids: density [1, X, Y, Z] and color/feature k0 [C, X, Y, Z]
+  (torch kept a leading batch dim; we drop it), trilinearly sampled
+- post-activated density: alpha = 1 - exp(-softplus(d + act_shift) * interval)
+  with act_shift = log(1/(1-alpha_init) - 1)      (dvgo_coarse.py:22, 295-297)
+- coarse: k0 is rgb directly (sigmoid); fine: k0 features + positional/view
+  encodings -> registered rgbnet MLP                (dvgo_fine.py:45-54)
+- fixed-step ray sampling within the scene bbox     (datasets/nerf/utils.py:5-28)
+- exclusive-cumprod compositing with background and far-depth fill
+  (dvgo_coarse.py:309-352)
+- training losses: mse, entropy-last, rgbper, ray entropy, total variation
+  (dvgo_coarse.py:216-267)
+- MaskCache free-space test (max-pooled coarse density)  (modules/utils.py:14-33)
+- progressive grid rescaling                         (dvgo_fine.py:35-42)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamfusion_tpu.models.decoders import get_MLP
+from dreamfusion_tpu.ops.grid_sample import (grid_sample_3d, max_pool_3d,
+                                             resize_grid_trilinear)
+
+
+def position_encoding(x: jax.Array, freqs: jax.Array) -> jax.Array:
+    """[x, sin(f x), cos(f x)] flattened (modules/utils.py:129-131)."""
+    emb = (x[..., None] * freqs).reshape(*x.shape[:-1], -1)
+    return jnp.concatenate([x, jnp.sin(emb), jnp.cos(emb)], -1)
+
+
+def cumprod_exclusive(p: jax.Array) -> jax.Array:
+    """[1, p0, p0 p1, ...] with a 1e-10 clamp (modules/utils.py:35-37).
+    Output has one more entry than the input, like the reference."""
+    c = jnp.cumprod(jnp.clip(p, 1e-10, None), axis=-1)
+    return jnp.concatenate([jnp.ones_like(p[..., :1]), c], -1)
+
+
+def total_variation(v: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+    """Mean |diff| over the three spatial axes of [C, X, Y, Z]
+    (modules/utils.py:46-56)."""
+    tvs = []
+    for axis in (1, 2, 3):
+        d = jnp.abs(jnp.diff(v, axis=axis))
+        if mask is not None:
+            m = jnp.logical_and(
+                jax.lax.slice_in_dim(mask, 0, mask.shape[axis] - 1, axis=axis),
+                jax.lax.slice_in_dim(mask, 1, mask.shape[axis], axis=axis))
+            d = jnp.where(m, d, 0.0)
+            tvs.append(jnp.sum(d) / jnp.maximum(jnp.sum(m) * v.shape[0], 1))
+        else:
+            tvs.append(jnp.mean(d))
+    return sum(tvs) / 3.0
+
+
+def sample_ray(rays_o: jax.Array, rays_d: jax.Array, *, near: float, far: float,
+               xyz_min: jax.Array, xyz_max: jax.Array, voxel_size: float,
+               stepsize: float, n_samples: int, key: Optional[jax.Array] = None):
+    """Fixed-count bbox-clipped ray sampling (datasets/nerf/utils.py:5-28).
+    Returns (rays_pts [N, S, 3], mask_outbbox [N, S]). n_samples is static
+    (the reference computes int(far/voxel_size/stepsize)+1 — do that at
+    trace time and pass it in)."""
+    vec = jnp.where(rays_d == 0, 1e-6, rays_d)
+    rate_a = (xyz_max - rays_o) / vec
+    rate_b = (xyz_min - rays_o) / vec
+    t_min = jnp.clip(jnp.max(jnp.minimum(rate_a, rate_b), -1), near, far)
+    t_max = jnp.clip(jnp.min(jnp.maximum(rate_a, rate_b), -1), near, far)
+    mask_outbbox = t_max <= t_min
+    rng = jnp.arange(n_samples, dtype=jnp.float32)[None, :]
+    if key is not None:  # train-time per-ray jitter
+        rng = rng + jax.random.uniform(key, (rays_o.shape[0], 1))
+    step = stepsize * voxel_size * rng
+    interpx = t_min[:, None] + step / jnp.linalg.norm(rays_d, axis=-1,
+                                                      keepdims=True)
+    rays_pts = rays_o[:, None, :] + rays_d[:, None, :] * interpx[..., None]
+    oob = ((rays_pts < xyz_min) | (rays_pts > xyz_max)).any(-1)
+    return rays_pts, mask_outbbox[:, None] | oob
+
+
+class DVGOField(nn.Module):
+    """One DVGO scene field (coarse when rgbnet_name is None, else fine)."""
+    world_size: Tuple[int, int, int]
+    k0_dim: int = 3
+    rgbnet_name: Optional[str] = None
+    rgbnet_width: int = 128
+    rgbnet_depth: int = 3
+    posbase_pe: int = 5
+    viewbase_pe: int = 4
+    xyz_min: Tuple[float, float, float] = (-1.0, -1.0, -1.0)
+    xyz_max: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    alpha_init: float = 1e-6
+    stepsize: float = 0.5
+    voxel_size_ratio: float = 1.0
+    fast_color_thres: float = 1e-7
+    density_noise: float = 0.0
+
+    @property
+    def act_shift(self) -> float:
+        return math.log(1.0 / (1.0 - self.alpha_init) - 1.0)
+
+    @property
+    def voxel_size(self) -> float:
+        ext = np.array(self.xyz_max) - np.array(self.xyz_min)
+        return float((ext / np.array(self.world_size)).mean())
+
+    @property
+    def mins(self):
+        return jnp.array(self.xyz_min)
+
+    @property
+    def maxs(self):
+        return jnp.array(self.xyz_max)
+
+    def setup(self):
+        X, Y, Z = self.world_size
+        self.density = self.param("density", nn.initializers.normal(1.0),
+                                  (1, X, Y, Z))
+        self.k0 = self.param("k0", nn.initializers.normal(1.0),
+                             (self.k0_dim, X, Y, Z))
+        if self.rgbnet_name is not None:
+            dim0 = self.k0_dim
+            if self.posbase_pe:
+                dim0 += 3 + 3 * self.posbase_pe * 2
+            if self.viewbase_pe:
+                dim0 += 3 + 3 * self.viewbase_pe * 2
+            self.rgbnet = get_MLP(self.rgbnet_name, in_dim=dim0, out_dim=3,
+                                  width=self.rgbnet_width,
+                                  depth=self.rgbnet_depth, k0_dim=self.k0_dim)
+        else:
+            self.rgbnet = None
+
+    # -- queries ---------------------------------------------------------------
+
+    def normalize(self, pts: jax.Array) -> jax.Array:
+        return (pts - self.mins) / (self.maxs - self.mins)
+
+    def sample_density(self, pts: jax.Array) -> jax.Array:
+        return grid_sample_3d(self.density, self.normalize(pts))[..., 0]
+
+    def activate_density(self, density: jax.Array,
+                         interval: Optional[float] = None) -> jax.Array:
+        interval = interval if interval is not None else \
+            self.stepsize * self.voxel_size_ratio
+        return 1.0 - jnp.exp(-jax.nn.softplus(density + self.act_shift) * interval)
+
+    def query_alpha(self, pts: jax.Array,
+                    noise_key: Optional[jax.Array] = None) -> jax.Array:
+        d = self.sample_density(pts)
+        if noise_key is not None and self.density_noise > 0:
+            d = d + jax.random.normal(noise_key, d.shape) * self.density_noise
+        return self.activate_density(d)
+
+    def query_rgb(self, pts: jax.Array, viewdirs: jax.Array) -> jax.Array:
+        k0 = grid_sample_3d(self.k0, self.normalize(pts))
+        if self.rgbnet is None:  # coarse: direct color (dvgo_coarse.py:355)
+            return nn.sigmoid(k0)
+        feats = [k0]
+        if self.posbase_pe:
+            freqs = jnp.exp2(jnp.arange(self.posbase_pe, dtype=jnp.float32))
+            feats.append(position_encoding(self.normalize(pts), freqs))
+        if self.viewbase_pe:
+            freqs = jnp.exp2(jnp.arange(self.viewbase_pe, dtype=jnp.float32))
+            feats.append(position_encoding(viewdirs, freqs))
+        return nn.sigmoid(self.rgbnet(jnp.concatenate(feats, -1)))
+
+    # -- rendering (dvgo_coarse.py:309-366) -----------------------------------------
+
+    def render(self, rays_o: jax.Array, rays_d: jax.Array, viewdirs: jax.Array,
+               *, near: float, far: float, bg: jax.Array | float,
+               n_samples: int, key: Optional[jax.Array] = None
+               ) -> Dict[str, jax.Array]:
+        k_ray, k_noise = (jax.random.split(key) if key is not None
+                          else (None, None))
+        rays_pts, mask_oob = sample_ray(
+            rays_o, rays_d, near=near, far=far, xyz_min=self.mins,
+            xyz_max=self.maxs, voxel_size=self.voxel_size,
+            stepsize=self.stepsize, n_samples=n_samples, key=k_ray)
+
+        alpha = jnp.where(mask_oob, 0.0,
+                          self.query_alpha(rays_pts, noise_key=k_noise))
+        alphainv_cum = cumprod_exclusive(1.0 - alpha)          # [N, S+1]
+        weights = alpha * alphainv_cum[..., :-1]
+        # fast_color_thres: default 0.5 color below threshold
+        # (dvgo_coarse.py:357-361)
+        vd = jnp.broadcast_to(viewdirs[:, None, :], rays_pts.shape)
+        rgb_q = self.query_rgb(rays_pts, vd)
+        mask = weights > self.fast_color_thres
+        rgb = jnp.where(mask[..., None], rgb_q, 0.5)
+
+        bg = jnp.asarray(bg, jnp.float32)
+        rgb_marched = jnp.clip(
+            jnp.sum(weights[..., None] * rgb, -2)
+            + alphainv_cum[..., -1:] * bg, 0.0, 1.0)
+        dists = jnp.linalg.norm(rays_o[:, None, :] - rays_pts, axis=-1)
+        depth = jnp.sum(weights * dists, -1) + alphainv_cum[..., -1] * far
+        return {"alphainv_cum": alphainv_cum, "weights": weights,
+                "rgb_marched": rgb_marched, "raw_alpha": alpha, "raw_rgb": rgb,
+                "depths": depth, "disp": 1.0 / depth, "dists": dists}
+
+    def n_render_samples(self, far: float) -> int:
+        return int(far / self.voxel_size / self.stepsize) + 1
+
+
+# -- losses (dvgo_coarse.py:216-296) -------------------------------------------------
+
+def dvgo_losses(render: Dict[str, jax.Array], target: jax.Array, *,
+                weight_main: float = 1.0, weight_entropy_last: float = 0.0,
+                weight_rgbper: float = 0.0, entropy_weight: float = 0.0
+                ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    logs = {}
+    loss = weight_main * jnp.mean((render["rgb_marched"] - target) ** 2)
+    logs["loss_main"] = loss
+    if weight_entropy_last > 0:
+        pout = jnp.clip(render["alphainv_cum"][..., -1], 1e-6, 1 - 1e-6)
+        ent = -(pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout)).mean()
+        logs["loss_entropy_last"] = weight_entropy_last * ent
+        loss = loss + logs["loss_entropy_last"]
+    if weight_rgbper > 0:
+        rgbper = jnp.sum((render["raw_rgb"] - target[..., None, :]) ** 2, -1)
+        l = jnp.mean(jnp.sum(
+            rgbper * jax.lax.stop_gradient(render["weights"]), -1))
+        logs["loss_rgbper"] = weight_rgbper * l
+        loss = loss + logs["loss_rgbper"]
+    if entropy_weight > 0:  # unimodal ray-weight entropy (dvgo_coarse.py:288-295)
+        w = render["weights"]
+        nw = w / (jnp.sum(w, -1, keepdims=True) + 1e-10)
+        ent = -jnp.sum(nw * jnp.log2(nw + 1e-10), -1)
+        ent = ent * jax.lax.stop_gradient(jnp.sum(w, -1) > 1e-2)
+        logs["loss_ray_entropy"] = entropy_weight * jnp.mean(ent)
+        loss = loss + logs["loss_ray_entropy"]
+    return loss, logs
+
+
+# -- MaskCache (modules/utils.py:14-33) -----------------------------------------------
+
+class MaskCacheData:
+    """Known-free-space test from a coarse model's (max-pooled) density."""
+
+    def __init__(self, xyz_min, xyz_max, density, act_shift, voxel_size_ratio,
+                 mask_cache_thres, ks: int = 3):
+        self.xyz_min = jnp.asarray(xyz_min)
+        self.xyz_max = jnp.asarray(xyz_max)
+        self.density = max_pool_3d(jnp.asarray(density), ks)
+        self.act_shift = act_shift
+        self.voxel_size_ratio = voxel_size_ratio
+        self.thres = mask_cache_thres
+
+    def __call__(self, xyz: jax.Array) -> jax.Array:
+        x01 = (xyz - self.xyz_min) / (self.xyz_max - self.xyz_min)
+        d = grid_sample_3d(self.density, x01)[..., 0]
+        alpha = 1.0 - jnp.exp(-jax.nn.softplus(d + self.act_shift)
+                              * self.voxel_size_ratio)
+        return alpha >= self.thres
+
+
+def scale_volume_grid(params: Dict[str, Any], new_world_size) -> Dict[str, Any]:
+    """Progressive scaling: trilinear re-interp of density/k0 to the new
+    resolution (dvgo_fine.py:35-42). Returns a new params['params'] dict."""
+    p = dict(params["params"])
+    p["density"] = resize_grid_trilinear(params["params"]["density"],
+                                         new_world_size)
+    p["k0"] = resize_grid_trilinear(params["params"]["k0"], new_world_size)
+    return {**params, "params": p}

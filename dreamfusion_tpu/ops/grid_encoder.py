@@ -156,6 +156,12 @@ class GridEncoderSpec:
         """Encode positions in [-bound, bound] -> [..., L*C] features.
 
         (reference: grid.py:138-153 — maps to [0,1] then calls the kernel.)
+
+        TPU layout note: all intermediates keep the (large) batch dimension
+        LAST — [D, B], [2^D, B], [L*C, B] — because float32 tiles as
+        (8, 128): a [B, 8]-or-smaller trailing axis would pad 16-64x in HBM
+        (a 1M-point query would materialize gigabytes). The per-channel
+        1-D table views keep the corner gathers padding-free too.
         """
         prefix = inputs.shape[:-1]
         x = inputs.reshape(-1, self.input_dim).astype(jnp.float32)
@@ -167,41 +173,39 @@ class GridEncoderSpec:
         D = self.input_dim
         C = self.level_dim
         n_corners = 1 << D
-        B = x01.shape[0]
 
-        all_idx = []      # per level [B, 2^D]
-        all_w = []        # per level [B, 2^D]
+        xT = x01.T  # [D, B]
+        emb_ch = [embeddings[:, c] for c in range(C)]  # C x [T] 1-D views
+
+        outs = []  # L*C entries of [B]
         for lvl in range(self.num_levels):
             scale = scales[lvl]
-            pos = x01 * scale + (0.0 if self.align_corners else 0.5)
+            pos = xT * scale + (0.0 if self.align_corners else 0.5)
             pos_grid = jnp.floor(pos)
             frac = pos - pos_grid  # d(frac)/dx = scale (floor has zero grad)
             pos_grid = pos_grid.astype(jnp.uint32)
 
             index_fn = self._corner_index_fn(lvl)
-            idx_corners = []
-            w_corners = []
+            idx_corners = []   # [B] each
+            w_corners = []     # [B] each
             for corner in range(n_corners):
-                w = jnp.ones((B,), jnp.float32)
+                w = jnp.ones_like(frac[0])
                 cc = []
                 for d in range(D):
                     if (corner >> d) & 1:
-                        w = w * frac[:, d]
-                        cc.append(pos_grid[:, d] + 1)
+                        w = w * frac[d]
+                        cc.append(pos_grid[d] + 1)
                     else:
-                        w = w * (1.0 - frac[:, d])
-                        cc.append(pos_grid[:, d])
-                coords = jnp.stack(cc, axis=-1)
-                idx_corners.append(index_fn(coords))
+                        w = w * (1.0 - frac[d])
+                        cc.append(pos_grid[d])
+                idx_corners.append(index_fn(jnp.stack(cc, axis=-1)))
                 w_corners.append(w)
-            all_idx.append(jnp.stack(idx_corners, axis=-1))
-            all_w.append(jnp.stack(w_corners, axis=-1))
+            idx8 = jnp.stack(idx_corners)            # [2^D, B]
+            w8 = jnp.stack(w_corners)                # [2^D, B]
+            for c in range(C):
+                vals = jnp.take(emb_ch[c], idx8, axis=0)  # [2^D, B]
+                outs.append(jnp.sum(w8 * vals, axis=0))   # [B]
 
-        idx = jnp.stack(all_idx, axis=1)   # [B, L, 2^D]
-        w = jnp.stack(all_w, axis=1)       # [B, L, 2^D]
-
-        vals = jnp.take(embeddings, idx.reshape(-1), axis=0)
-        vals = vals.reshape(B, self.num_levels, n_corners, C)
-        out = jnp.sum(vals * w[..., None].astype(vals.dtype), axis=2)  # [B, L, C]
-        out = jnp.where(oob[:, None, None], 0.0, out)
+        out = jnp.stack(outs)                        # [L*C, B]
+        out = jnp.where(oob[None, :], 0.0, out).T    # [B, L*C]
         return out.reshape(*prefix, self.num_levels * C)

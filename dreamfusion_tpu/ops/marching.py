@@ -1,0 +1,332 @@
+"""Occupancy-grid accelerated ray marching (renderer path B), TPU-native.
+
+This is the re-think of the reference's raymarching CUDA extension
+(raymarching/src/raymarching.cu) plus the occupancy-grid maintenance in
+NeRFRenderer (nerf/renderer.py:62-98, 562-613). The CUDA design is built on
+per-ray dynamic loops and atomicAdd compaction into variable-length buffers
+(raymarching.cu:312-490) — the exact opposite of what XLA wants. Here:
+
+- Marching is a vectorized `lax.scan` over a static number of DDA steps; all
+  rays advance in lockstep, each step either emits a sample (occupied voxel:
+  advance by dt) or skips to the next voxel boundary exactly like the CUDA
+  kernel (raymarching.cu:388-399), emitting an invalid sample.
+- Compaction to a fixed K samples/ray is a cumsum-slot scatter (deterministic,
+  no atomics) — the static-shape analog of the kernel's atomicAdd slot
+  reservation + the `mean_count` ray budget (raymarching.py:200-231). The
+  expensive field query then runs on exactly N*K points.
+- The density grid EMA + thresholding (update_extra_state,
+  nerf/renderer.py:562-613) is one jitted function; `mean_density` stays
+  on-device (the reference `.item()`s it every 16 steps).
+- Occupancy is stored as a dense bool [CAS, H, H, H] — on TPU a gather from
+  HBM doesn't benefit from the CUDA bitfield + morton locality tricks;
+  morton3D / packbits are still provided below for API/test parity.
+
+Marching detail notes vs the CUDA kernel:
+- dt = clamp(t * dt_gamma, dt_min, dt_max), dt_min = 2*sqrt(3)/max_steps,
+  dt_max = 2*sqrt(3)*2^(C-1)/H (raymarching.cu:345-346) — identical.
+- empty-space skip advances t to the next voxel boundary in whole-dt
+  multiples (closed form here; the CUDA does a do/while with a growing dt —
+  identical when dt_gamma == 0, conservative otherwise).
+- mip level = max(mip_from_pos, mip_from_dt) (raymarching.cu:42-54).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dreamfusion_tpu.cameras import safe_normalize
+from dreamfusion_tpu.ops.composite import composite, near_far_from_aabb
+
+SQRT3 = math.sqrt(3.0)
+
+
+# ---------------------------------------------------------------------------
+# morton / packbits parity ops (raymarching.cu:56-81, 214-300)
+# ---------------------------------------------------------------------------
+
+def _expand_bits(v: jax.Array) -> jax.Array:
+    v = (v * jnp.uint32(0x00010001)) & jnp.uint32(0xFF0000FF)
+    v = (v * jnp.uint32(0x00000101)) & jnp.uint32(0x0F00F00F)
+    v = (v * jnp.uint32(0x00000011)) & jnp.uint32(0xC30C30C3)
+    v = (v * jnp.uint32(0x00000005)) & jnp.uint32(0x49249249)
+    return v
+
+
+def morton3D(coords: jax.Array) -> jax.Array:
+    """[N, 3] int grid coords -> [N] morton codes (raymarching.cu:66-73)."""
+    c = coords.astype(jnp.uint32)
+    return (_expand_bits(c[..., 0]) | (_expand_bits(c[..., 1]) << 1)
+            | (_expand_bits(c[..., 2]) << 2)).astype(jnp.int32)
+
+
+def morton3D_invert(codes: jax.Array) -> jax.Array:
+    """[N] morton codes -> [N, 3] coords (raymarching.cu:75-81)."""
+    def compact(x):
+        x = x & jnp.uint32(0x49249249)
+        x = (x | (x >> 2)) & jnp.uint32(0xC30C30C3)
+        x = (x | (x >> 4)) & jnp.uint32(0x0F00F00F)
+        x = (x | (x >> 8)) & jnp.uint32(0xFF0000FF)
+        x = (x | (x >> 16)) & jnp.uint32(0x0000FFFF)
+        return x
+    c = codes.astype(jnp.uint32)
+    return jnp.stack([compact(c), compact(c >> 1), compact(c >> 2)],
+                     axis=-1).astype(jnp.int32)
+
+
+def packbits(grid: jax.Array, thresh: jax.Array | float) -> jax.Array:
+    """density grid [..., 8k] -> uint8 bitfield [..., k] at threshold
+    (raymarching.cu:268-300; bit i of byte b = cell 8b+i)."""
+    bits = (grid.reshape(*grid.shape[:-1], -1, 8) > thresh).astype(jnp.uint8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# grid state + maintenance
+# ---------------------------------------------------------------------------
+
+class GridState(NamedTuple):
+    density_grid: jax.Array   # [CAS, H, H, H] f32 EMA of sigma
+    occ: jax.Array            # [CAS, H, H, H] bool occupancy
+    mean_density: jax.Array   # scalar f32 (stays on device)
+
+
+def init_grid_state(cascade: int, grid_size: int,
+                    density_thresh: float = 10.0) -> GridState:
+    H = grid_size
+    return GridState(
+        density_grid=jnp.zeros((cascade, H, H, H), jnp.float32),
+        occ=jnp.zeros((cascade, H, H, H), bool),
+        mean_density=jnp.float32(0.0))
+
+
+def update_grid(density_fn, state: GridState, key: jax.Array, *,
+                bound: float, density_thresh: float, decay: float = 0.95,
+                chunk: Optional[int] = None) -> GridState:
+    """One occupancy-grid refresh (reference: nerf/renderer.py:562-613).
+
+    Queries sigma at a jittered center of every cell of every cascade,
+    EMA-decays the stored grid, and re-thresholds occupancy at
+    min(mean_density, density_thresh). Fully on-device; jit-safe.
+    """
+    CAS, H = state.density_grid.shape[0], state.density_grid.shape[1]
+    # cell coordinates: xyzs = 2*coords/(H-1) - 1 (renderer.py:584)
+    lin = 2.0 * jnp.arange(H, dtype=jnp.float32) / (H - 1) - 1.0
+    X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    xyzs = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)  # [H^3, 3] in [-1,1]
+
+    new_levels = []
+    for cas in range(CAS):
+        cas_bound = min(2 ** cas, bound)
+        half = cas_bound / H
+        k = jax.random.fold_in(key, cas)
+        pts = xyzs * (cas_bound - half)
+        pts = pts + (jax.random.uniform(k, pts.shape) * 2.0 - 1.0) * half
+        if chunk:
+            sig = jax.lax.map(
+                lambda p: density_fn(p)["sigma"],
+                pts.reshape(-1, chunk, 3)).reshape(-1)
+        else:
+            sig = density_fn(pts)["sigma"]
+        new_levels.append(sig.reshape(H, H, H))
+    new_sigmas = jnp.stack(new_levels)
+    grid = jnp.maximum(state.density_grid * decay, new_sigmas)
+    mean_density = jnp.mean(grid)
+    occ = grid > jnp.minimum(mean_density, density_thresh)
+    return GridState(density_grid=grid, occ=occ, mean_density=mean_density)
+
+
+def make_update_extra_state(cfg, model):
+    """Bind (cfg, model) -> jitted update fn(params, grid_state, key)."""
+    from dreamfusion_tpu.models.networks import make_field_fns
+
+    @jax.jit
+    def update(params, grid_state, key):
+        fns = make_field_fns(model, params, bg=False)
+        return update_grid(fns.density, grid_state, key, bound=cfg.bound,
+                           density_thresh=cfg.density_thresh,
+                           decay=cfg.grid_decay,
+                           chunk=min(cfg.grid_size ** 3, 65536))
+    return update
+
+
+# ---------------------------------------------------------------------------
+# marching
+# ---------------------------------------------------------------------------
+
+def _mip_level(x: jax.Array, dt: jax.Array, H: int, C: int) -> jax.Array:
+    """max(mip_from_pos, mip_from_dt), each frexp-clamped to [0, C-1]
+    (raymarching.cu:42-54). frexp exponent e: mx in [2^(e-1), 2^e)."""
+    mx_pos = jnp.max(jnp.abs(x), axis=-1)
+    def expo(m):
+        return jnp.where(m > 0, jnp.floor(jnp.log2(jnp.maximum(m, 1e-30))) + 1.0,
+                         -126.0).astype(jnp.int32)
+    e_pos = jnp.clip(expo(mx_pos), 0, C - 1)
+    e_dt = jnp.clip(expo(dt * H * 0.5), 0, C - 1)
+    return jnp.maximum(e_pos, e_dt)
+
+
+class MarchOut(NamedTuple):
+    ts: jax.Array      # [N, K] sample midpoints along rays
+    dts: jax.Array     # [N, K] step sizes
+    valid: jax.Array   # [N, K] bool
+    counts: jax.Array  # [N] number of emitted samples (pre-truncation)
+
+
+def march_rays(key: Optional[jax.Array], occ: jax.Array, rays_o: jax.Array,
+               rays_d: jax.Array, nears: jax.Array, fars: jax.Array, *,
+               bound: float, max_steps: int, K: int, dt_gamma: float = 0.0,
+               perturb: bool = False) -> MarchOut:
+    """Fixed-K occupancy-grid DDA marching (raymarching.cu:312-490 rethought).
+
+    occ: [CAS, H, H, H] bool. Returns K compacted samples per ray with a
+    validity mask. The marching itself carries no gradients (sampling
+    positions are not differentiated in the reference either).
+    """
+    N = rays_o.shape[0]
+    C, H = occ.shape[0], occ.shape[1]
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (C - 1)) / H
+
+    occ_flat = occ.reshape(C, -1)
+
+    t0 = nears
+    if perturb:
+        assert key is not None
+        noise = jax.random.uniform(key, (N,))
+        t0 = t0 + jnp.clip(t0 * dt_gamma, dt_min, dt_max) * noise
+
+    rd = jnp.where(jnp.abs(rays_d) < 1e-15,
+                   jnp.where(rays_d >= 0, 1e-15, -1e-15), rays_d)
+    inv_d = 1.0 / rd
+
+    def step_fn(t, _):
+        x = jnp.clip(rays_o + t[:, None] * rays_d, -bound, bound)   # [N,3]
+        dt = jnp.clip(t * dt_gamma, dt_min, dt_max)                 # [N]
+        level = _mip_level(x, dt, H, C)                             # [N]
+        mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
+        n = jnp.clip(0.5 * (x / mip_bound[:, None] + 1.0) * H, 0.0, H - 1.0)
+        n = n.astype(jnp.int32)                                     # [N,3]
+        flat_idx = (n[:, 0] * H + n[:, 1]) * H + n[:, 2]
+        is_occ = occ_flat[level, flat_idx]                          # [N]
+
+        alive = t < fars
+        emit = is_occ & alive
+
+        # skip: distance to next voxel boundary along each axis
+        nb = (n.astype(jnp.float32) + 0.5 + 0.5 * jnp.sign(rays_d)) \
+            * (2.0 / H) - 1.0
+        t_axis = (nb * mip_bound[:, None] - x) * inv_d
+        tt = t + jnp.maximum(0.0, jnp.min(t_axis, axis=-1))
+        # advance to >= tt in whole dt multiples (== CUDA do/while for
+        # dt_gamma == 0; conservative single-dt estimate otherwise)
+        n_skip = jnp.maximum(jnp.ceil((tt - t) / dt), 1.0)
+        t_next = jnp.where(emit, t + dt, t + n_skip * dt)
+        t_next = jnp.where(alive, t_next, t)
+        return t_next, (t, dt, emit)
+
+    _, (ts, dts, emits) = jax.lax.scan(step_fn, t0, None, length=max_steps)
+    ts = ts.T        # [N, max_steps]
+    dts = dts.T
+    emits = emits.T
+
+    # compaction: cumsum slot scatter (deterministic; replaces atomicAdd)
+    slot = jnp.cumsum(emits, axis=1) - 1                     # [N, S]
+    keep = emits & (slot < K)
+    slot_c = jnp.where(keep, slot, K)
+    rows = jnp.broadcast_to(jnp.arange(N)[:, None], slot_c.shape)
+    buf_t = jnp.zeros((N, K + 1)).at[rows, slot_c].set(jnp.where(keep, ts, 0.0))
+    buf_dt = jnp.zeros((N, K + 1)).at[rows, slot_c].set(jnp.where(keep, dts, 0.0))
+    counts = jnp.sum(emits, axis=1)
+    k_ar = jnp.arange(K)[None, :]
+    valid = k_ar < jnp.minimum(counts, K)[:, None]
+    return MarchOut(ts=buf_t[:, :K], dts=buf_dt[:, :K], valid=valid,
+                    counts=counts)
+
+
+# ---------------------------------------------------------------------------
+# full grid-accelerated render (the run_cuda analog, renderer.py:446-559)
+# ---------------------------------------------------------------------------
+
+def render_grid(
+    key: jax.Array,
+    fns,                        # renderer.FieldFns
+    grid_state: GridState,
+    rays_o: jax.Array,          # [N, 3]
+    rays_d: jax.Array,          # [N, 3]
+    *,
+    bound: float = 1.0,
+    min_near: float = 0.1,
+    max_steps: int = 512,
+    K: int = 128,
+    dt_gamma: float = 0.0,
+    bg_radius: float = 1.4,
+    light_d: Optional[jax.Array] = None,
+    ambient_ratio: jax.Array | float = 1.0,
+    shading_code: jax.Array | int = 0,
+    bg_color: Optional[jax.Array] = None,
+    perturb: bool = False,
+    T_thresh: float = 1e-4,
+    compute_normal_losses: bool = False,
+) -> Dict[str, jax.Array]:
+    N = rays_o.shape[0]
+    aabb = jnp.array([-bound] * 3 + [bound] * 3, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+
+    k_light, k_march, k_smooth = jax.random.split(key, 3)
+    if light_d is None:
+        light_d = safe_normalize(rays_o[0] + jax.random.normal(k_light, (3,)))
+
+    march = march_rays(k_march, grid_state.occ,
+                       jax.lax.stop_gradient(rays_o),
+                       jax.lax.stop_gradient(rays_d),
+                       nears, fars, bound=bound, max_steps=max_steps, K=K,
+                       dt_gamma=dt_gamma, perturb=perturb)
+
+    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * march.ts[..., None]
+    xyzs = jnp.clip(xyzs, -bound, bound)                      # [N, K, 3]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+
+    sigma, color, normal = fns.field(xyzs.reshape(-1, 3), dirs.reshape(-1, 3),
+                                     light_d, ambient_ratio, shading_code)
+    sigma = sigma.reshape(N, K) * march.valid
+    color = color.reshape(N, K, 3)
+    dts = march.dts * march.valid
+
+    out = composite(sigma, color, dts, ts=march.ts, T_thresh=T_thresh)
+
+    results: Dict[str, jax.Array] = {}
+    if compute_normal_losses:
+        normal = normal.reshape(N, K, 3)
+        # reference uses weights = 1-exp(-sigma) here (renderer.py:486-489,
+        # "not very exact"); we use the true compositing weights.
+        w_sg = jax.lax.stop_gradient(out.weights) * march.valid
+        loss_orient = w_sg * jnp.clip(jnp.sum(normal * dirs, -1), 0.0, None) ** 2
+        results["loss_orient"] = jnp.mean(jnp.sum(loss_orient, -1))
+        if fns.normal is not None:
+            xp = xyzs + jax.random.normal(k_smooth, xyzs.shape) * 1e-2
+            normal_p = fns.normal(xp.reshape(-1, 3)).reshape(N, K, 3)
+            results["loss_smooth"] = jnp.mean(jnp.abs(normal - normal_p))
+
+    if bg_radius > 0 and fns.background is not None:
+        bg = fns.background(rays_d)
+    elif bg_color is not None:
+        bg = bg_color
+    else:
+        bg = jnp.ones((N, 3), jnp.float32)
+    image = out.rgb + (1.0 - out.weights_sum)[:, None] * bg
+
+    depth = jnp.clip(out.depth - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-6)
+
+    results.update({
+        "image": image,
+        "depth": depth,
+        "weights_sum": out.weights_sum,
+        "mask": nears < fars,
+        "mean_count": jnp.mean(march.counts.astype(jnp.float32)),
+    })
+    return results

@@ -59,17 +59,16 @@ def _shading_schedule(key: jax.Array, step: jax.Array, albedo_iters: int):
     return code, ratio
 
 
-def make_train_step(cfg: Config, model: _BaseNeRF, guidance: Guidance,
-                    tx, renderer: str = "stratified", extra_state_fn=None):
-    """Build the jitted train step.
-
-    step(state, guidance_params, text_z, key, grid_state=None)
-      -> (new_state, metrics)
-    """
+def make_grads_fn(cfg: Config, model: _BaseNeRF, guidance: Guidance,
+                  renderer: str = "stratified"):
+    """Build grads_fn(params, step, gparams, text_z, key, grid_state) ->
+    (loss, metrics, grads): camera sampling + shading schedule + render +
+    guidance + regularizers + value_and_grad, with no optimizer coupling so
+    it can be wrapped by parallel.data_parallel_grads."""
     compute_orient = cfg.lambda_orient > 0
     compute_smooth = cfg.lambda_smooth > 0
 
-    def train_step(state: TrainState, gparams, text_z, key, grid_state=None):
+    def grads_fn(params_in, step, gparams, text_z, key, grid_state):
         k_batch, k_shade, k_bg, k_render, k_guid = jax.random.split(key, 5)
         batch = cameras.sample_train_batch(k_batch, cfg)
         B = cfg.batch_size
@@ -77,7 +76,7 @@ def make_train_step(cfg: Config, model: _BaseNeRF, guidance: Guidance,
         rays_o = batch["rays_o"].reshape(B * N, 3)
         rays_d = batch["rays_d"].reshape(B * N, 3)
 
-        code, ratio = _shading_schedule(k_shade, state.step, cfg.albedo_iters)
+        code, ratio = _shading_schedule(k_shade, step, cfg.albedo_iters)
         bg_color = jax.random.uniform(k_bg, (B * N, 3))  # per-pixel random bg
                                                          # (nerf/utils.py:362)
 
@@ -132,16 +131,40 @@ def make_train_step(cfg: Config, model: _BaseNeRF, guidance: Guidance,
                 loss = loss + cfg.lambda_smooth * out["loss_smooth"]
                 metrics["loss_smooth"] = out["loss_smooth"]
             metrics["mean_opacity"] = jnp.mean(pred_ws)
+            metrics["shading_code"] = code
             return loss, metrics
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_in)
+        return loss, metrics, grads
+
+    return grads_fn
+
+
+def make_train_step(cfg: Config, model: _BaseNeRF, guidance: Guidance,
+                    tx, renderer: str = "stratified", mesh=None):
+    """Build the jitted train step.
+
+    step(state, guidance_params, text_z, key, grid_state=None)
+      -> (new_state, metrics)
+
+    With a mesh, grads are computed data-parallel over the 'data' axis
+    (per-device camera batches, pmean'd grads) — the DDP analog (§2.4).
+    """
+    grads_fn = make_grads_fn(cfg, model, guidance, renderer)
+    if mesh is not None:
+        from dreamfusion_tpu.parallel.sharding import data_parallel_grads
+
+        grads_fn = data_parallel_grads(grads_fn, mesh)
+
+    def train_step(state: TrainState, gparams, text_z, key, grid_state=None):
+        loss, metrics, grads = grads_fn(state.params, state.step, gparams,
+                                        text_z, key, grid_state)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         ema = state.ema_params
         if ema is not None and cfg.ema_decay:
             ema = ema_update(ema, params, cfg.ema_decay)
         metrics["loss"] = loss
-        metrics["shading_code"] = code
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, ema_params=ema)
         return new_state, metrics
@@ -218,6 +241,9 @@ class Trainer:
         x0 = jnp.zeros((8, 3))
         d0 = jnp.ones((8, 3)) / jnp.sqrt(3.0)
         params = self.model.init(k_init, x0, d0, method=self.model.init_all)
+        if getattr(cfg, "pretrained_dvgo", None) and hasattr(self.model,
+                                                             "load_pretrained"):
+            params = self.model.load_pretrained(params, cfg.pretrained_dvgo)
 
         frozen = getattr(self.model, "frozen_prefixes", ())
         self.tx = build_optimizer(cfg, params, frozen_prefixes=frozen)

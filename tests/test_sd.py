@@ -1,0 +1,198 @@
+"""Stable Diffusion guidance tests: scheduler constants, UNet/VAE shapes and
+gradients on tiny configs, and the SDS single-loss == two-phase-backward
+gradient equivalence (the reference's latents.backward trick, nerf/sd.py:115)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamfusion_tpu.guidance.sd.scheduler import (add_noise, ddim_step,
+                                                   ddim_timesteps,
+                                                   make_schedule)
+from dreamfusion_tpu.guidance.sd.sds import LATENT_SCALE, build_sd_guidance
+from dreamfusion_tpu.guidance.sd.unet import timestep_embedding, tiny_unet
+from dreamfusion_tpu.guidance.sd.vae import tiny_vae
+
+
+def test_schedule_constants():
+    s = make_schedule()
+    acp = np.asarray(s.alphas_cumprod)
+    # first: 1 - 0.00085
+    np.testing.assert_allclose(acp[0], 1 - 0.00085, rtol=1e-6)
+    # last: the well-known SD value ~0.00466
+    np.testing.assert_allclose(acp[-1], 0.004682, rtol=1e-2)
+    assert np.all(np.diff(acp) < 0)
+    assert s.betas.shape == (1000,)
+
+
+def test_add_noise():
+    s = make_schedule()
+    x = jnp.ones((2, 4, 4, 4))
+    n = jnp.zeros_like(x)
+    t = jnp.array([0, 999])
+    out = add_noise(s, x, n, t)
+    np.testing.assert_allclose(float(out[0, 0, 0, 0]),
+                               float(jnp.sqrt(s.alphas_cumprod[0])), rtol=1e-6)
+    np.testing.assert_allclose(float(out[1, 0, 0, 0]),
+                               float(jnp.sqrt(s.alphas_cumprod[999])), rtol=1e-5)
+
+
+def test_timestep_embedding():
+    emb = timestep_embedding(jnp.array([0.0, 10.0]), 320)
+    assert emb.shape == (2, 320)
+    # t=0: cos block = 1, sin block = 0 (flip_sin_to_cos => cos first)
+    np.testing.assert_allclose(np.asarray(emb[0, :160]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 160:]), 0.0, atol=1e-6)
+
+
+def test_tiny_unet_shapes_and_grad():
+    unet = tiny_unet()
+    key = jax.random.PRNGKey(0)
+    lat = jax.random.normal(key, (2, 8, 8, 4))
+    t = jnp.array([10, 500])
+    ctx = jax.random.normal(key, (2, 77, unet.cross_attention_dim))
+    params = unet.init(key, lat, t, ctx)
+    out = jax.jit(unet.apply)(params, lat, t, ctx)
+    assert out.shape == lat.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    g = jax.grad(lambda l: jnp.sum(unet.apply(params, l, t, ctx) ** 2))(lat)
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_tiny_vae_roundtrip_shapes():
+    vae = tiny_vae()
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (1, 32, 32, 3)) * 2 - 1
+    params = vae.init(key, img, key)
+    lat = vae.apply(params, img, key, method=vae.encode)
+    assert lat.shape == (1, 4, 4, 4)  # 32/8
+    dec = vae.apply(params, lat, method=vae.decode)
+    assert dec.shape == img.shape
+    # encoder gradient flows (the SDS-critical path)
+    g = jax.grad(lambda im: jnp.sum(
+        vae.apply(params, im, key, method=vae.encode)))(img)
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_sds_gradient_matches_two_phase_backward():
+    """d(sds_loss)/d(pred_rgb) must equal vjp of latents with cotangent
+    w*(eps_hat - noise) — i.e. the reference's latents.backward(gradient=...)"""
+    from dreamfusion_tpu.guidance.sd.scheduler import make_schedule
+    from dreamfusion_tpu.guidance.sd import sds as sds_mod
+
+    g = build_sd_guidance(None, guidance_scale=7.5)
+    unet, vae = sds_mod.tiny_unet(), sds_mod.tiny_vae()
+    sched = make_schedule()
+    key = jax.random.PRNGKey(3)
+    pred_rgb = jax.random.uniform(jax.random.PRNGKey(4), (1, 16, 16, 3))
+    text_z = g.get_text_embeds(["a cat"], [""])  # [1, 2, 77, D]
+
+    # (a) our single-loss gradient
+    grad_a = jax.grad(lambda im: g.loss(g.params, text_z, im, key))(pred_rgb)
+
+    # (b) manual two-phase: same keys/teacher pass, then VJP through the
+    # encoder only
+    k_enc, k_t, k_noise = jax.random.split(key, 3)
+    B = 1
+    size = 8 * 8
+
+    def latents_of(im):
+        img = jax.image.resize(im, (B, size, size, 3), "bilinear")
+        return vae.apply(g.params["vae"], 2.0 * img - 1.0, k_enc,
+                         method=vae.encode) * sds_mod.LATENT_SCALE
+
+    latents = latents_of(pred_rgb)
+    t = jax.random.randint(k_t, (B,), 20, 981)
+    noise = jax.random.normal(k_noise, latents.shape)
+    lat_noisy = add_noise(sched, latents, noise, t)
+    lat_in = jnp.concatenate([lat_noisy, lat_noisy])
+    t_in = jnp.concatenate([t, t])
+    ctx = jnp.concatenate([text_z[:, 0], text_z[:, 1]])
+    eps = unet.apply(g.params["unet"], lat_in, t_in, ctx)
+    eps_hat = eps[:B] + 7.5 * (eps[B:] - eps[:B])
+    w = (1.0 - sched.alphas_cumprod[t]).reshape(B, 1, 1, 1)
+    cotangent = w * (eps_hat - noise)
+    _, vjp = jax.vjp(latents_of, pred_rgb)
+    (grad_b,) = vjp(cotangent)
+
+    np.testing.assert_allclose(np.asarray(grad_a), np.asarray(grad_b),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sds_trains_toward_lower_loss_shape():
+    """Smoke: guidance loss is finite and differentiable wrt a [B,H,W,3]
+    image through jit."""
+    g = build_sd_guidance(None)
+    text_z = g.get_text_embeds(["x"], [""])
+    img = jax.random.uniform(jax.random.PRNGKey(0), (2, 24, 24, 3))
+    tz = jnp.broadcast_to(text_z, (2,) + text_z.shape[1:])
+    loss, grad = jax.jit(jax.value_and_grad(
+        lambda im: g.loss(g.params, tz, im, jax.random.PRNGKey(1))))(img)
+    assert jnp.isfinite(loss)
+    assert float(jnp.abs(grad).max()) > 0
+
+
+def test_ddim_step_reconstructs_x0():
+    """Single DDIM step from t to -1 with the true eps recovers x0."""
+    s = make_schedule()
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    t = 500
+    xt = add_noise(s, x0, eps, jnp.array([t]))
+    x0_hat = ddim_step(s, eps, t, -1, xt)
+    np.testing.assert_allclose(np.asarray(x0_hat), np.asarray(x0), atol=1e-4)
+
+
+def test_convert_roundtrip_tiny():
+    """convert_state_dict maps a synthetic torch-layout state dict onto the
+    tiny UNet template exactly."""
+    from dreamfusion_tpu.guidance.sd.convert import (_flatten,
+                                                     convert_state_dict)
+
+    unet = tiny_unet()
+    key = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 77, unet.cross_attention_dim))
+    params = unet.init(key, lat, jnp.zeros((1,), jnp.int32), ctx)
+
+    # synthesize the torch state dict from the flax tree (inverse mapping)
+    torch_sd = {}
+    for path, val in _flatten(params).items():
+        mods = list(path[1:])  # drop 'params'
+        leaf = mods.pop()
+        name_parts = []
+        for m in mods:
+            name_parts.extend(m.replace("_", ".").split("."))
+        # re-merge alpha tokens split from names like conv.in / to.q
+        name = ".".join(name_parts)
+        for bad, good in [("down.blocks", "down_blocks"), ("up.blocks", "up_blocks"),
+                          ("mid.block", "mid_block"), ("conv.in", "conv_in"),
+                          ("conv.out", "conv_out"), ("conv.norm.out", "conv_norm_out"),
+                          ("time.embedding", "time_embedding"),
+                          ("linear.1", "linear_1"), ("linear.2", "linear_2"),
+                          ("time.emb.proj", "time_emb_proj"),
+                          ("transformer.blocks", "transformer_blocks"),
+                          ("to.q", "to_q"), ("to.k", "to_k"), ("to.v", "to_v"),
+                          ("to.out.0", "to_out_0"), ("net.0", "net.0"),
+                          ("conv.shortcut", "conv_shortcut"),
+                          ("proj.in", "proj_in"), ("proj.out", "proj_out")]:
+            name = name.replace(bad, good)
+        v = np.asarray(val)
+        if leaf == "kernel":
+            if v.ndim == 4:
+                v = v.transpose(3, 2, 0, 1)
+            else:
+                v = v.T
+            torch_sd[name + ".weight"] = v
+        elif leaf == "scale":
+            torch_sd[name + ".weight"] = v
+        else:
+            torch_sd[name + ".bias"] = v
+
+    converted, skipped = convert_state_dict(torch_sd, params)
+    assert not skipped
+    for (pa, va), (pb, vb) in zip(sorted(_flatten(params).items()),
+                                  sorted(_flatten(converted).items())):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-6)

@@ -83,6 +83,42 @@ def test_eval_and_test_write_frames(tmp_path):
     assert any(f.endswith("_rgb.png") for f in os.listdir(tdir))
 
 
+def test_train_grid_ray_e2e(tmp_path):
+    """Path B (occupancy-grid renderer) end-to-end: grid refresh + fixed-K
+    marching + jitted step — the '-O' pipeline on tiny shapes."""
+    cfg = _tiny_cfg(tmp_path, grid_ray=True, grid_size=16, max_steps=64,
+                    grid_K=24, backbone="grid", update_extra_interval=2,
+                    lambda_orient=0.0)
+    trainer = Trainer("t", cfg, use_checkpoint="scratch")
+    assert trainer.grid_state is not None
+    trainer.train(max_steps=3, log_interval=1)
+    assert int(trainer.state.step) == 3
+    # the grid refresh ran and produced occupancy
+    assert float(trainer.grid_state.mean_density) > 0
+    import json
+
+    recs = [json.loads(l) for l in open(trainer.log_path)]
+    assert all(np.isfinite(r["loss"]) for r in recs)
+    # eval render through path B
+    trainer.evaluate(step=3, size=1)
+
+
+def test_train_sds_e2e(tmp_path):
+    """Full SDS pipeline on tiny shapes: render -> VAE encode -> UNet CFG ->
+    single-loss SDS -> one jitted update (BASELINE config 3 analog)."""
+    cfg = _tiny_cfg(tmp_path, guidance="stable-diffusion", backbone="grid",
+                    h=8, w=8, num_steps=8, upsample_steps=8,
+                    lambda_orient=0.0)
+    trainer = Trainer("t", cfg, use_checkpoint="scratch")
+    assert trainer.text_z.shape[0] == 6 and trainer.text_z.ndim == 4
+    trainer.train(max_steps=2, log_interval=1)
+    import json
+
+    recs = [json.loads(l) for l in open(trainer.log_path)]
+    assert all(np.isfinite(r["loss"]) for r in recs)
+    assert all(np.isfinite(r["loss_guidance"]) for r in recs)
+
+
 def test_dir_text_embeddings_shape(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     trainer = Trainer("t", cfg, use_checkpoint="scratch")
