@@ -67,21 +67,13 @@ def build_optimizer(cfg, params, frozen_prefixes=()) -> optax.GradientTransforma
 
 def shampoo(learning_rate, b1: float = 0.9, b2: float = 0.99,
             block_size: int = 128, update_preconditioner_every: int = 10):
-    """Block-partitioned Shampoo with Adam grafting.
+    """Block-partitioned Shampoo with Adagrad grafting — our own
+    implementation (training/shampoo.py), rebuilding the reference's
+    optimizer.py (coupled-Newton inverse-pth-root, optimizer.py:62-470)."""
+    from dreamfusion_tpu.training.shampoo import shampoo as _shampoo
 
-    TPU-native stand-in for the reference's optimizer.py (coupled-Newton
-    inverse-pth-root Shampoo with Adagrad grafting, optimizer.py:62-470).
-    Uses optax's scale_by_distributed_shampoo when available, otherwise falls
-    back to Adam (grafting target) so configs never hard-fail.
-    """
-    try:
-        from optax.contrib import distributed_shampoo  # type: ignore
-
-        return distributed_shampoo(
-            learning_rate=learning_rate, block_size=block_size, beta1=b1,
-            beta2=b2, preconditioning_compute_steps=update_preconditioner_every)
-    except Exception:
-        return optax.adam(learning_rate, b1=b1, b2=b2, eps=1e-15)
+    return _shampoo(learning_rate, block_size=block_size, beta1=b1,
+                    update_preconditioner_every=update_preconditioner_every)
 
 
 def ema_update(ema_params, params, decay: float):

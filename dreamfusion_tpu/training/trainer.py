@@ -393,15 +393,29 @@ class Trainer:
                                  frames, fps=25, loop=0)
         return frames
 
-    def save_mesh(self, resolution: int = 256):
+    def save_mesh(self, resolution: int = 256, chunk: int = 262144):
         from dreamfusion_tpu.export.mesh import export_textured_mesh
 
         mdir = os.path.join(self.workspace, "mesh")
         os.makedirs(mdir, exist_ok=True)
-        fns = make_field_fns(self.model, self.state.params)
-        export_textured_mesh(fns.density, mdir, resolution=resolution,
+        density_jit = jax.jit(lambda p, x: self.model.apply(
+            p, x, method=self.model.density))
+
+        def density_fn(x):  # fixed-shape padded chunks -> one compilation
+            n = x.shape[0]
+            pad = (-n) % chunk
+            if pad:
+                x = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)])
+            outs = [density_jit(self.state.params, x[s:s + chunk])
+                    for s in range(0, x.shape[0], chunk)]
+            cat = {k: jnp.concatenate([o[k] for o in outs])[:n] for k in outs[0]}
+            return cat
+
+        export_textured_mesh(density_fn, mdir, resolution=resolution,
                              density_thresh=self.cfg.density_thresh,
-                             bound=self.cfg.bound)
+                             mean_density=(float(self.grid_state.mean_density)
+                                           if self.grid_state is not None else None),
+                             bound=self.cfg.bound, chunk=chunk)
 
     # -- checkpointing (nerf/utils.py:847-968) -------------------------------------
 

@@ -101,6 +101,29 @@ def test_march_empty_and_full_grid():
     np.testing.assert_allclose(dts, 2 * SQRT3 / 64, rtol=1e-5)
 
 
+def test_uniform_path_equals_scan_path():
+    """The parallel uniform-lattice march (dt_gamma=0) must produce the same
+    samples as the sequential DDA scan (forced via dt_gamma=1e-12, which
+    clamps to the same constant dt)."""
+    H = 32
+    occ = jnp.asarray(_slab_occ(H))[None]
+    rng = np.random.RandomState(1)
+    o = jnp.asarray(np.tile([[0.0, 0.0, -2.5]], (16, 1)), jnp.float32)
+    d = rng.normal(size=(16, 3))
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    aabb = jnp.array([-1.0, -1, -1, 1, 1, 1])
+    nears, fars = near_far_from_aabb(o, d, aabb, 0.1)
+    uni = march_rays(None, occ, o, d, nears, fars, bound=1.0, max_steps=128,
+                     K=64, dt_gamma=0.0)
+    scan = march_rays(None, occ, o, d, nears, fars, bound=1.0, max_steps=128,
+                      K=64, dt_gamma=1e-12)
+    np.testing.assert_array_equal(np.asarray(uni.counts), np.asarray(scan.counts))
+    np.testing.assert_allclose(np.asarray(uni.ts), np.asarray(scan.ts),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(uni.valid), np.asarray(scan.valid))
+
+
 def _ball_density(radius=0.5, sigma0=60.0):
     def density(x):
         return {"sigma": jnp.where(jnp.linalg.norm(x, axis=-1) < radius,
