@@ -4,12 +4,12 @@ Rebuilds datasets/nerf/lib/load_data.py:20-197: a `load_data(cfg)` dispatch
 returning the uniform dict {hwf, HW, Ks, near, far, near_clip, i_train,
 i_val, i_test, poses, render_poses, images, depths, irregular_shape}.
 
-Implemented formats: blender (nerf_synthetic transforms_*.json), llff
-(poses_bounds.npy), nsvf / tankstemple / standard_blendedmvs-style
-(pose/*.txt + rgb/*.png + intrinsics.txt), deepvoxels, dtu (cameras.npz),
-blendedmvs (cams/ + blended_images/). The long-tail formats the reference
-also ships (co3d, omniScenes, stanford3D, toydesk, tankstemple360) raise
-with pointers until their loaders land.
+All 13 reference formats: blender (nerf_synthetic transforms_*.json), llff
+(poses_bounds.npy), nsvf / tankstemple / blendedmvs (pose/*.txt + rgb/ +
+intrinsics.txt), standard_blendedmvs (MVS cams/pair.txt), deepvoxels,
+DTU (cameras.npz via native RQ decomposition), toydesk, stanford3D
+(panoramic + metric depth), tankstemple360 (Ks/Rs/ts npy), omniScenes
+(panoramic), co3d (gzip json annotations).
 """
 
 from __future__ import annotations
@@ -256,6 +256,219 @@ def _decompose_projection(P):
     return (K / K[2, 2]).astype(np.float32), R.astype(np.float32), t
 
 
+# -- toydesk (transforms_full.json + split dirs) ------------------------------------
+
+_TOYDESK_FIX_ROT = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
+
+
+def load_toydesk_data(basedir: str):
+    """(reference: lib/load_toydesk.py)"""
+    with open(os.path.join(basedir, "transforms_full.json")) as fp:
+        meta = json.load(fp)
+    if basedir.rstrip("/").endswith("our_desk_1"):
+        near, far = 0.3, 9.0
+    elif basedir.rstrip("/").endswith("our_desk_2"):
+        near, far = 0.8, 24.0
+    else:
+        raise NotImplementedError("toydesk scene must be our_desk_1/our_desk_2")
+    imgs, poses, avail = [], [], []
+    for frame in meta["frames"]:
+        imgs.append(_imread(os.path.join(basedir, frame["file_path"] + ".png")))
+        pose = np.array(frame["transform_matrix"])
+        pose[:3, :3] = pose[:3, :3] @ _TOYDESK_FIX_ROT
+        poses.append(pose)
+        avail.append(frame["idx"])
+    idx_convert = {i: k for k, i in enumerate(avail)}
+    suffix = basedir.rstrip("/").split("/")[-1]
+    split_path = os.path.join(basedir, "..", "..", "split", suffix + "_train_0.8")
+
+    def load_split(p):
+        return [int(l) for l in open(p).read().splitlines() if l]
+
+    train_idx = np.array([idx_convert[i] for i in
+                          load_split(os.path.join(split_path, "train.txt"))
+                          if i in idx_convert])
+    test_idx = np.array([idx_convert[i] for i in
+                         load_split(os.path.join(split_path, "test.txt"))
+                         if i in idx_convert])
+    imgs = np.asarray(imgs, np.float32)
+    poses = np.asarray(poses, np.float32)
+    H, W = imgs[0].shape[:2]
+    focal = 0.5 * W / np.tan(0.5 * float(meta["camera_angle_x"]))
+    return (imgs, poses, default_render_poses(radius=4.0),
+            [H, W, focal], [train_idx, test_idx, test_idx], near, far)
+
+
+# -- stanford 2D-3D-S panoramas (pose jsons + rgb/depth pngs) -------------------------
+
+def load_stanford3d_data(basedir: str):
+    """(reference: lib/load_stanford.py) — panoramic rgb + metric depth."""
+    import imageio.v2 as imageio
+
+    cam_paths = sorted(glob.glob(os.path.join(basedir, "pose", "*.json")))
+    img_paths = sorted(glob.glob(os.path.join(basedir, "rgb", "*.png")))
+    depth_paths = sorted(glob.glob(os.path.join(basedir, "depth", "*.png")))
+    images = np.stack([_imread(p)[..., :3] for p in img_paths])
+
+    def convert_d(d):
+        d = d.astype(np.float64)
+        d[d == 65535] = 0
+        return d / 512.0
+
+    depths = np.stack([convert_d(imageio.imread(p)) for p in depth_paths])
+
+    def load_cam(path):
+        cfg = json.load(open(path))
+        return np.linalg.inv(np.array(cfg["camera_rt_matrix"]
+                                      + [[0.0, 0.0, 0.0, 1.0]]))
+
+    cams = np.stack([load_cam(p) for p in cam_paths]).astype(np.float32)
+    tot = len(images)
+    perm = np.random.RandomState(seed=233).permutation(tot)
+    i_split = [perm, perm[int(tot * 0.8):], perm[int(tot * 0.8):]]
+    H, W = images[0].shape[:2]
+    return (images, cams, depths, cams[i_split[-1]], [H, W, 1],
+            np.zeros((3, 3)), i_split)
+
+
+# -- standard BlendedMVS (cams/pair.txt + *_cam.txt + blended_images) ------------------
+
+def _load_mvs_cam(path: str):
+    """4x4 w2c + 4x4 K from an MVS cam txt (lib/load_standard_blendedmvs.py:6-28)."""
+    words = open(path).read().split()
+    ext = np.array(words[1:17], np.float32).reshape(4, 4)
+    K = np.eye(4, dtype=np.float32)
+    K[:3, :3] = np.array(words[18:27], np.float32).reshape(3, 3)
+    return np.linalg.inv(ext), K
+
+
+def load_standard_blendedmvs_data(basedir: str):
+    cluster = open(os.path.join(basedir, "cams", "pair.txt")).read().splitlines()
+    n = int(cluster[0])
+    img_paths, cam_paths = [], []
+    for idx in range(n):
+        ref = int(cluster[2 * idx + 1])
+        for suffix in (".jpg", ".png"):
+            p = os.path.join(basedir, "blended_images", f"{ref:08d}_masked{suffix}")
+            if os.path.isfile(p):
+                img_paths.append(p)
+                cam_paths.append(os.path.join(basedir, "cams", f"{ref:08d}_cam.txt"))
+                break
+    images = np.stack([_imread(p) for p in img_paths])
+    cams = np.stack([_load_mvs_cam(p)[0] for p in cam_paths])
+    K = _load_mvs_cam(cam_paths[0])[1][:3, :3]
+    tot = len(images)
+    perm = np.random.RandomState(seed=233).permutation(tot)
+    i_split = [perm[: int(tot * 0.8)], perm[int(tot * 0.8):],
+               perm[int(tot * 0.8):]]
+    H, W = images[0].shape[:2]
+    return images, cams, cams[i_split[-1]], [H, W, float(K[0, 0])], K, i_split
+
+
+# -- tanks&temples 360 (Ks/Rs/ts npy + im_*.jpg + dm_*.npy) ---------------------------
+
+def load_tankstemple360_data(basedir: str):
+    import imageio.v2 as imageio
+
+    rgb_paths = sorted(glob.glob(os.path.join(basedir, "im_*.jpg")))
+    depth_paths = sorted(glob.glob(os.path.join(basedir, "dm_*.npy")))
+    Ks = np.load(os.path.join(basedir, "Ks.npy"))
+    Rs = np.load(os.path.join(basedir, "Rs.npy"))
+    Ts = np.load(os.path.join(basedir, "ts.npy"))
+    poses, imgs, depths = [], [], []
+    for i in range(len(Ks)):
+        w2c = np.eye(4)
+        w2c[:3, :3] = Rs[i]
+        w2c[:3, 3] = Ts[i]
+        poses.append(np.linalg.inv(w2c).astype(np.float32))
+        imgs.append(_imread(rgb_paths[i]))
+        depths.append(np.load(depth_paths[i]))
+    imgs = np.stack(imgs)
+    poses = np.stack(poses)
+    depths = np.stack(depths)
+    tot = len(imgs)
+    perm = np.random.RandomState(seed=233).permutation(tot)
+    i_split = [perm[: int(tot * 0.8)], perm[int(tot * 0.8):],
+               perm[int(tot * 0.8):]]
+    H, W = imgs[0].shape[:2]
+    return (imgs, poses, depths, poses[i_split[-1]],
+            [H, W, float(Ks[0][0, 0])], Ks[0], i_split)
+
+
+# -- omniScenes (panoramic seq_*.jpg + pose txts) -------------------------------------
+
+def load_omniScenes_data(basedir: str):
+    cam_paths = sorted(glob.glob(os.path.join(
+        basedir.replace("pano", "pose"), "seq_*txt")))
+    img_paths = sorted(glob.glob(os.path.join(
+        basedir.replace("pose", "pano"), "seq_*jpg")))
+
+    def load_cam(path):
+        w = np.array(open(path).read().split()[:12], np.float32).reshape(3, 4)
+        cam = np.eye(4, dtype=np.float32)
+        cam[:3] = w
+        return np.linalg.inv(cam)
+
+    images = np.stack([_imread(p) for p in img_paths])
+    cams = np.stack([load_cam(p) for p in cam_paths])
+    tot = len(images)
+    perm = np.random.RandomState(seed=233).permutation(tot)
+    i_split = [perm[: int(tot * 0.8)], perm[int(tot * 0.8):],
+               perm[int(tot * 0.8):]]
+    H, W = images[0].shape[:2]
+    return images, cams, cams[i_split[-1]], [H, W, 1], np.zeros((3, 3)), i_split
+
+
+# -- co3d (gzip json annotations, per-image K) ---------------------------------------
+
+def load_co3d_data(args):
+    """(reference: lib/load_co3d.py) — needs annot_path/split_path/
+    sequence_name/datadir on `args`."""
+    import gzip
+
+    with gzip.open(args.annot_path, "rt", encoding="utf8") as z:
+        annot = [v for v in json.load(z)
+                 if v["sequence_name"] == args.sequence_name]
+    with open(args.split_path) as f:
+        split = json.load(f)
+    train_im, test_im = set(), set()
+    for k, lst in split.items():
+        for v in lst:
+            if v[0] == args.sequence_name:
+                (train_im if "known" in k else test_im).add(v[-1])
+
+    imgs, masks, poses, Ks = [], [], [], []
+    i_split = [[], []]
+    for meta in annot:
+        fname = meta["image"]["path"]
+        sid = 0 if fname in train_im else 1
+        if meta["mask"]["mass"] == 0:
+            continue
+        mask = _imread(os.path.join(args.datadir, meta["mask"]["path"]))
+        if mask.max() < 0.5:
+            continue
+        Rt = np.concatenate([meta["viewpoint"]["R"],
+                             np.array(meta["viewpoint"]["T"])[:, None]], 1)
+        poses.append(np.linalg.inv(np.concatenate([Rt, [[0, 0, 0, 1]]])))
+        imgs.append(_imread(os.path.join(args.datadir, fname)))
+        masks.append(mask)
+        half_wh = np.float32(meta["image"]["size"][::-1]) * 0.5
+        pp = -1.0 * (np.float32(meta["viewpoint"]["principal_point"]) - 1.0) * half_wh
+        fl = np.float32(meta["viewpoint"]["focal_length"]) * half_wh
+        Ks.append(np.array([[fl[0], 0, pp[0]], [0, fl[1], pp[1]], [0, 0, 1]]))
+        i_split[sid].append(len(imgs) - 1)
+    imgs = np.array(imgs, dtype=object if len({im.shape for im in imgs}) > 1
+                    else None)
+    masks = np.array(masks, dtype=imgs.dtype)
+    poses = np.stack(poses)
+    Ks = np.stack(Ks)
+    i_split.append(i_split[-1])
+    H, W = np.array([im.shape[:2] for im in imgs]).mean(0).astype(int)
+    focal = float(Ks[:, [0, 1], [0, 1]].mean())
+    return (imgs, masks, poses, poses[i_split[-1]], [H, W, focal], Ks,
+            [np.array(s) for s in i_split])
+
+
 # -- dispatch (load_data.py:20-197) -----------------------------------------------
 
 def inward_nearfar_heuristic(cam_o: np.ndarray, ratio: float = 0.05):
@@ -295,7 +508,8 @@ def load_data(args) -> Dict:
             near, far = 0.0, 1.0
         else:
             near, far = float(bds.min()) * 0.9, float(bds.max())
-    elif dt in ("nsvf", "tankstemple", "standard_blendedmvs", "blendedmvs"):
+    elif dt in ("nsvf", "tankstemple", "blendedmvs"):
+        # blendedmvs aliases the tankstemple loader (lib/load_blendedmvs.py:1)
         images, poses, render_poses, hwf, K, i_split = load_posedir_data(
             args.datadir, n_sets=3 if dt == "nsvf" else 2 + 1)
         i_train, i_val, i_test = (i_split + [i_split[-1]])[:3]
@@ -304,6 +518,45 @@ def load_data(args) -> Dict:
         if images.shape[-1] == 4:
             bkgd = np.array(get("bkgd", (1.0, 1.0, 1.0)))
             images = images[..., :3] * images[..., 3:] + (1 - images[..., 3:]) * bkgd
+    elif dt == "standard_blendedmvs":
+        images, poses, render_poses, hwf, K, i_split = \
+            load_standard_blendedmvs_data(args.datadir)
+        i_train, i_val, i_test = i_split
+        near, far = inward_nearfar_heuristic(poses[i_train, :3, 3])
+    elif dt == "toydesk":
+        images, poses, render_poses, hwf, i_split, near, far = \
+            load_toydesk_data(args.datadir)
+        i_train, i_val, i_test = i_split
+        near_clip = 6.0
+    elif dt == "stanford3D":
+        images, poses, depths, render_poses, hwf, K, i_split = \
+            load_stanford3d_data(args.datadir)
+        i_train, i_val, i_test = i_split
+        near, far = max(0.0, float(depths.min()) - 1e-2), float(depths.max()) + 1e-2
+    elif dt == "tankstemple360":
+        images, poses, depths, render_poses, hwf, K, i_split = \
+            load_tankstemple360_data(args.datadir)
+        i_train, i_val, i_test = i_split
+        nz = depths[depths != 0]
+        near, far = max(0.0, float(nz.min()) - 1e-2), float(depths.max()) + 1e-2
+        near_clip = far / 10
+        if images.shape[-1] == 4:
+            bkgd = np.array(get("bkgd", (1.0, 1.0, 1.0)))
+            images = images[..., :3] * images[..., 3:] + (1 - images[..., 3:]) * bkgd
+    elif dt == "omniscenes":
+        images, poses, render_poses, hwf, K, i_split = \
+            load_omniScenes_data(args.datadir)
+        i_train, i_val, i_test = i_split
+        near, far = inward_nearfar_heuristic(poses[i_train, :3, 3])
+    elif dt == "co3d":
+        images, masks, poses, render_poses, hwf, K, i_split = \
+            load_co3d_data(args)
+        i_train, i_val, i_test = i_split
+        near, far = inward_nearfar_heuristic(poses[i_train, :3, 3], ratio=0)
+        bkgd = np.array(get("bkgd", (1.0, 1.0, 1.0)))
+        for i in range(len(images)):
+            m = masks[i][..., None]
+            images[i] = images[i][..., :3] * m + (1.0 - m) * bkgd
     elif dt == "deepvoxels":
         images, poses, render_poses, hwf, i_split = load_deepvoxels_data(
             args.datadir, get("scene", "greek"))
@@ -314,10 +567,6 @@ def load_data(args) -> Dict:
         images, poses, render_poses, hwf, K, i_split = load_dtu_data_np(args.datadir)
         i_train, i_val, i_test = i_split
         near, far = inward_nearfar_heuristic(poses[i_train, :3, 3], ratio=0)
-    elif dt in ("co3d", "omniscenes", "stanford3D", "toydesk", "tankstemple360"):
-        raise NotImplementedError(
-            f"dataset_type {dt!r}: loader not ported yet (reference: "
-            f"datasets/nerf/lib/load_{dt.lower()}.py)")
     else:
         raise NotImplementedError(f"Unknown dataset type {dt}")
 

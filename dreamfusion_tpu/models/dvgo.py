@@ -175,6 +175,23 @@ class DVGOField(nn.Module):
 
     # -- rendering (dvgo_coarse.py:309-366) -----------------------------------------
 
+    def _render_core(self, rays_pts, mask_oob, viewdirs, noise_key):
+        """(alpha [N,S], rgb [N,S,3]) — the per-sample queries
+        (dvgo_coarse.py:354-361). Zoo variants override this hook (e.g. FFL's
+        LIIF blending, ffl_fine.py:14-56)."""
+        alpha = jnp.where(mask_oob, 0.0,
+                          self.query_alpha(rays_pts, noise_key=noise_key))
+        # transmittance-independent color-query threshold: weights depend on
+        # alpha upstream, but the mask only needs a cheap proxy — use alpha
+        # like the reference uses weights (fast_color_thres default color 0.5)
+        from dreamfusion_tpu.models.dvgo import cumprod_exclusive as _ce
+
+        weights = alpha * _ce(1.0 - alpha)[..., :-1]
+        vd = jnp.broadcast_to(viewdirs[:, None, :], rays_pts.shape)
+        rgb_q = self.query_rgb(rays_pts, vd)
+        rgb = jnp.where((weights > self.fast_color_thres)[..., None], rgb_q, 0.5)
+        return alpha, rgb
+
     def render(self, rays_o: jax.Array, rays_d: jax.Array, viewdirs: jax.Array,
                *, near: float, far: float, bg: jax.Array | float,
                n_samples: int, key: Optional[jax.Array] = None
@@ -186,16 +203,9 @@ class DVGOField(nn.Module):
             xyz_max=self.maxs, voxel_size=self.voxel_size,
             stepsize=self.stepsize, n_samples=n_samples, key=k_ray)
 
-        alpha = jnp.where(mask_oob, 0.0,
-                          self.query_alpha(rays_pts, noise_key=k_noise))
+        alpha, rgb = self._render_core(rays_pts, mask_oob, viewdirs, k_noise)
         alphainv_cum = cumprod_exclusive(1.0 - alpha)          # [N, S+1]
         weights = alpha * alphainv_cum[..., :-1]
-        # fast_color_thres: default 0.5 color below threshold
-        # (dvgo_coarse.py:357-361)
-        vd = jnp.broadcast_to(viewdirs[:, None, :], rays_pts.shape)
-        rgb_q = self.query_rgb(rays_pts, vd)
-        mask = weights > self.fast_color_thres
-        rgb = jnp.where(mask[..., None], rgb_q, 0.5)
 
         bg = jnp.asarray(bg, jnp.float32)
         rgb_marched = jnp.clip(

@@ -98,6 +98,101 @@ def test_partial_and_loader_lite():
     np.testing.assert_array_equal(seen, np.arange(10))
 
 
+def test_toydesk_format(tmp_path):
+    base = tmp_path / "our_desk_1"
+    os.makedirs(base)
+    rng = np.random.RandomState(0)
+    frames = []
+    for i in range(4):
+        _write_png(str(base / f"r_{i}.png"), rng.rand(8, 8, 3))
+        pose = np.eye(4)
+        pose[0, 3] = i
+        frames.append({"file_path": f"./r_{i}", "idx": i,
+                       "transform_matrix": pose.tolist()})
+    with open(base / "transforms_full.json", "w") as f:
+        json.dump({"camera_angle_x": 0.8, "frames": frames}, f)
+    split = tmp_path / "split" / "our_desk_1_train_0.8"
+    os.makedirs(split)
+    (split / "train.txt").write_text("0\n1\n2\n")
+    (split / "test.txt").write_text("3\n")
+    # loader resolves split at basedir/../../split -> needs one more level
+    scene = tmp_path / "scenes" / "our_desk_1"
+    os.makedirs(scene.parent, exist_ok=True)
+    os.rename(base, scene)
+    d = load_data({"dataset_type": "toydesk", "datadir": str(scene)})
+    assert len(d["i_train"]) == 3 and len(d["i_test"]) == 1
+    assert d["near"] == 0.3 and d["far"] == 9.0
+
+
+def test_standard_blendedmvs_format(tmp_path):
+    base = tmp_path / "scan"
+    os.makedirs(base / "cams")
+    os.makedirs(base / "blended_images")
+    rng = np.random.RandomState(0)
+    n = 5
+    (base / "cams" / "pair.txt").write_text(
+        "\n".join([str(n)] + sum([[str(i), "0"] for i in range(n)], [])))
+    for i in range(n):
+        ext = np.eye(4)
+        ext[2, 3] = -(2.0 + i * 0.1)  # w2c translation
+        K = np.array([[10.0, 0, 4], [0, 10, 4], [0, 0, 1]])
+        words = ["extrinsic"] + [str(v) for v in ext.reshape(-1)] + \
+            ["intrinsic"] + [str(v) for v in K.reshape(-1)]
+        (base / "cams" / f"{i:08d}_cam.txt").write_text(" ".join(words))
+        _write_png(str(base / "blended_images" / f"{i:08d}_masked.jpg"),
+                   rng.rand(8, 8, 3))
+    d = load_data({"dataset_type": "standard_blendedmvs", "datadir": str(base)})
+    assert d["images"].shape[0] == n
+    assert d["Ks"][0][0, 0] == 10.0
+    assert d["far"] > 0
+
+
+def test_tankstemple360_and_omniscenes(tmp_path):
+    rng = np.random.RandomState(0)
+    base = tmp_path / "tt360"
+    os.makedirs(base)
+    n = 4
+    np.save(base / "Ks.npy", np.tile(np.array([[10.0, 0, 4], [0, 10, 4],
+                                               [0, 0, 1]]), (n, 1, 1)))
+    np.save(base / "Rs.npy", np.tile(np.eye(3), (n, 1, 1)))
+    np.save(base / "ts.npy", rng.rand(n, 3))
+    for i in range(n):
+        _write_png(str(base / f"im_{i:02d}.jpg"), rng.rand(8, 8, 3))
+        np.save(base / f"dm_{i:02d}.npy", rng.rand(8, 8) * 3 + 1)
+    d = load_data({"dataset_type": "tankstemple360", "datadir": str(base)})
+    assert d["images"].shape[0] == n and d["near"] > 0
+
+    omni = tmp_path / "pano"
+    os.makedirs(omni)
+    for i in range(4):
+        _write_png(str(omni / f"seq_{i:03d}.jpg"), rng.rand(8, 16, 3))
+        pose = np.hstack([np.eye(3), np.array([[i], [0], [2.0]])])
+        (tmp_path / "pose").mkdir(exist_ok=True)
+        np.savetxt(tmp_path / "pose" / f"seq_{i:03d}.txt", pose)
+    d = load_data({"dataset_type": "omniscenes", "datadir": str(omni)})
+    assert d["images"].shape[0] == 4
+
+
+def test_stanford3d_format(tmp_path):
+    import imageio.v2 as imageio
+
+    rng = np.random.RandomState(0)
+    base = tmp_path / "area"
+    for sub in ("pose", "rgb", "depth"):
+        os.makedirs(base / sub)
+    for i in range(3):
+        _write_png(str(base / "rgb" / f"{i:03d}.png"), rng.rand(8, 16, 3))
+        depth = (rng.rand(8, 16) * 5000 + 100).astype(np.uint16)
+        imageio.imwrite(str(base / "depth" / f"{i:03d}.png"), depth)
+        with open(base / "pose" / f"{i:03d}.json", "w") as f:
+            json.dump({"camera_rt_matrix":
+                       np.hstack([np.eye(3), [[0], [0], [2.0]]]).tolist()}, f)
+    d = load_data({"dataset_type": "stanford3D", "datadir": str(base)})
+    assert d["images"].shape[0] == 3
+    assert d["depths"] is not None
+    assert d["far"] > d["near"] >= 0
+
+
 def test_posedir_format(tmp_path):
     base = tmp_path / "scan"
     os.makedirs(base / "pose")
