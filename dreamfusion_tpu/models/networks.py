@@ -16,7 +16,7 @@ integer code so the jitted train step can switch per iteration with
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -34,19 +34,23 @@ SHADING_NORMAL = 3
 
 
 class MLP(nn.Module):
-    """Plain ReLU MLP (reference: network_grid.py:13-32)."""
+    """Plain ReLU MLP (reference: network_grid.py:13-32). `dtype` sets the
+    compute precision (bf16 under the -O preset; params stay f32)."""
     dim_out: int
     dim_hidden: int
     num_layers: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)
         for l in range(self.num_layers):
             last = l == self.num_layers - 1
-            x = nn.Dense(self.dim_out if last else self.dim_hidden, name=f"dense_{l}")(x)
+            x = nn.Dense(self.dim_out if last else self.dim_hidden,
+                         dtype=self.dtype, name=f"dense_{l}")(x)
             if not last:
                 x = nn.relu(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class ResBlock(nn.Module):
@@ -106,6 +110,7 @@ class _BaseNeRF(nn.Module):
     bg_radius: float = 1.4
     num_layers_bg: int = 2
     hidden_dim_bg: int = 64
+    compute_dtype: Any = jnp.float32   # bf16 under -O (replaces fp16+scaler)
 
     def common(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """x [N,3] in [-bound,bound] -> (sigma [N], albedo [N,3])."""
@@ -169,9 +174,11 @@ class NeRFGridNetwork(_BaseNeRF):
         self.embeddings = self.param(
             "embeddings",
             lambda key: self.enc_spec.init(key))
-        self.sigma_net = MLP(4, self.hidden_dim, self.num_layers)
+        self.sigma_net = MLP(4, self.hidden_dim, self.num_layers,
+                             dtype=self.compute_dtype)
         if self.bg_radius > 0:
-            self.bg_net = MLP(3, self.hidden_dim_bg, self.num_layers_bg)
+            self.bg_net = MLP(3, self.hidden_dim_bg, self.num_layers_bg,
+                              dtype=self.compute_dtype)
 
     def encode(self, x):
         return self.enc_spec(self.embeddings, x, bound=self.bound)
@@ -197,7 +204,7 @@ class NeRFVanillaNetwork(_BaseNeRF):
     hidden_dim: int = 128
 
     def setup(self):
-        self.sigma_net = ResMLP(4, self.hidden_dim, self.num_layers)
+        self.sigma_net = ResMLP(4, self.hidden_dim, self.num_layers)  # LayerNorm path stays f32
         if self.bg_radius > 0:
             self.bg_net = MLP(3, self.hidden_dim_bg, self.num_layers_bg)
 
@@ -254,10 +261,13 @@ def make_field_fns(model: _BaseNeRF, params, bg: bool = True):
 def build_model(cfg) -> _BaseNeRF:
     """Backbone dispatch (reference: main.py:86-94 + the Kailu editing path
     main.py:100-102 via backbone='dvgo')."""
+    dtype = jnp.bfloat16 if cfg.fp16 else jnp.float32
     if cfg.backbone == "grid":
-        return NeRFGridNetwork(bound=cfg.bound, bg_radius=cfg.bg_radius)
+        return NeRFGridNetwork(bound=cfg.bound, bg_radius=cfg.bg_radius,
+                               compute_dtype=dtype)
     if cfg.backbone == "vanilla":
-        return NeRFVanillaNetwork(bound=cfg.bound, bg_radius=cfg.bg_radius)
+        return NeRFVanillaNetwork(bound=cfg.bound, bg_radius=cfg.bg_radius,
+                                  compute_dtype=dtype)
     if cfg.backbone == "dvgo":
         from dreamfusion_tpu.models.kailu import DVGOEditNetwork
 

@@ -45,6 +45,7 @@ class TrainState(flax.struct.PyTreeNode):
     step: jax.Array
     params: Any
     opt_state: Any
+    key: Optional[jax.Array] = None     # PRNG state threads through the step
     ema_params: Optional[Any] = None
 
 
@@ -156,7 +157,13 @@ def make_train_step(cfg: Config, model: _BaseNeRF, guidance: Guidance,
 
         grads_fn = data_parallel_grads(grads_fn, mesh)
 
-    def train_step(state: TrainState, gparams, text_z, key, grid_state=None):
+    def train_step(state: TrainState, gparams, text_z, key=None,
+                   grid_state=None):
+        # key=None: derive from the state's threaded PRNG (no host dispatch)
+        if key is None:
+            next_key, key = jax.random.split(state.key)
+        else:
+            next_key = state.key
         loss, metrics, grads = grads_fn(state.params, state.step, gparams,
                                         text_z, key, grid_state)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -166,7 +173,8 @@ def make_train_step(cfg: Config, model: _BaseNeRF, guidance: Guidance,
             ema = ema_update(ema, params, cfg.ema_decay)
         metrics["loss"] = loss
         new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state, ema_params=ema)
+                               opt_state=opt_state, key=next_key,
+                               ema_params=ema)
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
@@ -248,8 +256,10 @@ class Trainer:
         frozen = getattr(self.model, "frozen_prefixes", ())
         self.tx = build_optimizer(cfg, params, frozen_prefixes=frozen)
         ema = params if cfg.ema_decay else None
+        self._key, k_state = jax.random.split(self._key)
         self.state = TrainState(step=jnp.int32(0), params=params,
-                                opt_state=self.tx.init(params), ema_params=ema)
+                                opt_state=self.tx.init(params), key=k_state,
+                                ema_params=ema)
 
         # occupancy grid state (renderer path B)
         self.grid_state = None
@@ -311,14 +321,13 @@ class Trainer:
 
             update_grid = make_update_extra_state(cfg, self.model)
 
-        while int(self.state.step) < max_steps:
-            self._key, k = jax.random.split(self._key)
-            step = int(self.state.step)
+        step = int(self.state.step)   # the ONLY D2H sync outside log points
+        while step < max_steps:
             if update_grid is not None and step % cfg.update_extra_interval == 0:
                 self._key, kg = jax.random.split(self._key)
                 self.grid_state = update_grid(self.state.params, self.grid_state, kg)
             self.state, metrics = self._train_step(
-                self.state, self.guidance.params, self.text_z, k,
+                self.state, self.guidance.params, self.text_z, None,
                 *((self.grid_state,) if self.renderer == "grid" else ()))
             step += 1
             if step % log_interval == 0 or step == max_steps:
@@ -465,9 +474,14 @@ class Trainer:
             payload["grid_state"] = self.grid_state._asdict()
         restored = ckptr.restore(path, payload)
         ema = restored.get("ema_params", self.state.ema_params)
+        # fresh PRNG stream after resume, folded with the restored step so
+        # a resumed run doesn't replay the original key sequence
+        self._key, k_state = jax.random.split(self._key)
         self.state = TrainState(step=jnp.int32(restored["step"]),
                                 params=restored["params"],
                                 opt_state=restored["opt_state"],
+                                key=jax.random.fold_in(k_state,
+                                                       int(restored["step"])),
                                 ema_params=ema)
         if self.grid_state is not None and "grid_state" in restored:
             from dreamfusion_tpu.ops.marching import GridState
