@@ -58,6 +58,27 @@ class RandDataset(ArrayDataset):
         super().__init__(*arrays)
 
 
+class ConcatDataset(ArrayDataset):
+    """Concatenate several ArrayDatasets (the 'concat' factory name /
+    repeat>1 loader behavior, dataProvider.py:43-46, 64-69)."""
+
+    def __init__(self, datasets: Sequence[ArrayDataset]):
+        arrays = [np.concatenate([d.arrays[i] for d in datasets])
+                  for i in range(len(datasets[0].arrays))]
+        super().__init__(*arrays)
+
+
+class OrderDataset(ArrayDataset):
+    """Deterministic class/target-ordered iteration (decorators.py
+    OrderDataset; for ray datasets, orders by target luminance)."""
+
+    def __init__(self, base: ArrayDataset):
+        t = base.arrays[-1]
+        keys = t.reshape(len(t), -1).mean(-1)
+        order = np.argsort(keys, kind="stable")
+        super().__init__(*(a[order] for a in base.arrays))
+
+
 class DataLoaderLite:
     """Batched iterator over an ArrayDataset (shuffle per epoch, drop_last)."""
 

@@ -109,7 +109,12 @@ def gather_training_rays(data_dict: Dict, cfg_data: Dict, split: str = "i_train"
       'stanford'/'in_alpha_channel' — keep only pixels with alpha > 0
       'in_maskcache'       — additionally drop rays whose full segment lies
                              in known free space (mask_fn: pts -> bool)
-    Returns (rgb, rays_o, rays_d, viewdirs, imsz).
+      'random_depth'       — like 'random' but the target keeps the depth
+                             channel appended by the caller (load_depths
+                             mode, nerf_dataset.py:89-96)
+    Returns (rgb, rays_o, rays_d, viewdirs, imsz). When data_dict carries
+    'depths' and ray_sampler is 'random_depth', the depth is concatenated
+    as a 4th target channel.
     """
     HW = np.asarray(data_dict["HW"])
     Ks = np.asarray(data_dict["Ks"])
@@ -117,10 +122,15 @@ def gather_training_rays(data_dict: Dict, cfg_data: Dict, split: str = "i_train"
     indexes = np.asarray(data_dict[split])
     images = data_dict["images"]
 
+    depths = data_dict.get("depths")
     rgb_all, ro_all, rd_all, vd_all, imsz = [], [], [], [], []
     for idx in indexes:
         H, W = int(HW[idx][0]), int(HW[idx][1])
         img = np.asarray(images[idx], dtype=np.float32)
+        if ray_sampler == "random_depth" and depths is not None:
+            img = np.concatenate(
+                [img[..., :3], np.asarray(depths[idx], np.float32)[..., None]],
+                axis=-1)
         rays_o, rays_d, viewdirs = get_rays_of_a_view(
             H, W, Ks[idx], poses[idx], **{k: v for k, v in cfg_data.items()
                                           if k in ("ndc", "inverse_y", "flip_x",
@@ -135,7 +145,8 @@ def gather_training_rays(data_dict: Dict, cfg_data: Dict, split: str = "i_train"
         if ray_sampler == "in_maskcache" and mask_fn is not None:
             keep = np.asarray(mask_fn(ro, rd))
             rgb, ro, rd, vd = rgb[keep], ro[keep], rd[keep], vd[keep]
-        rgb_all.append(rgb[..., :3])
+        keep_ch = 4 if ray_sampler == "random_depth" else 3
+        rgb_all.append(rgb[..., :keep_ch])
         ro_all.append(ro)
         rd_all.append(rd)
         vd_all.append(vd)

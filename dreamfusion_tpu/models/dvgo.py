@@ -63,6 +63,23 @@ def total_variation(v: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array
     return sum(tvs) / 3.0
 
 
+def metric_loss(v: jax.Array, key: jax.Array,
+                mask: Optional[jax.Array] = None) -> jax.Array:
+    """Shuffled-TV contrast: TV(v) minus the TV of spatially permuted v —
+    pushes features to vary less than chance locally
+    (modules/utils.py:58-63)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    sh = v[:, jax.random.permutation(k1, v.shape[1])]
+    sh = sh[:, :, jax.random.permutation(k2, v.shape[2])]
+    sh = sh[:, :, :, jax.random.permutation(k3, v.shape[3])]
+    if mask is not None:
+        diff = jnp.where(mask, jnp.abs(v - sh), 0.0)
+        contrast = jnp.sum(diff) / jnp.maximum(jnp.sum(mask) * v.shape[0], 1)
+    else:
+        contrast = jnp.mean(jnp.abs(v - sh))
+    return total_variation(v, mask) - contrast
+
+
 def sample_ray(rays_o: jax.Array, rays_d: jax.Array, *, near: float, far: float,
                xyz_min: jax.Array, xyz_max: jax.Array, voxel_size: float,
                stepsize: float, n_samples: int, key: Optional[jax.Array] = None):
@@ -225,9 +242,19 @@ class DVGOField(nn.Module):
 
 def dvgo_losses(render: Dict[str, jax.Array], target: jax.Array, *,
                 weight_main: float = 1.0, weight_entropy_last: float = 0.0,
-                weight_rgbper: float = 0.0, entropy_weight: float = 0.0
+                weight_rgbper: float = 0.0, entropy_weight: float = 0.0,
+                weight_depth: float = 0.0,
+                target_depth: Optional[jax.Array] = None
                 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     logs = {}
+    if weight_depth > 0:  # depth supervision (dvgo_coarse.py:258-267)
+        assert target_depth is not None
+        d_loss = jnp.mean((render["depths"] - target_depth) ** 2)
+        before = render["dists"] < target_depth[..., None] * 0.99
+        dist_loss = jnp.sum(jnp.where(before, render["weights"], 0.0)) \
+            / jnp.maximum(jnp.sum(before), 1)
+        logs["loss_depth"] = weight_depth * d_loss
+        logs["loss_dist"] = weight_depth * dist_loss
     loss = weight_main * jnp.mean((render["rgb_marched"] - target) ** 2)
     logs["loss_main"] = loss
     if weight_entropy_last > 0:
@@ -248,6 +275,8 @@ def dvgo_losses(render: Dict[str, jax.Array], target: jax.Array, *,
         ent = ent * jax.lax.stop_gradient(jnp.sum(w, -1) > 1e-2)
         logs["loss_ray_entropy"] = entropy_weight * jnp.mean(ent)
         loss = loss + logs["loss_ray_entropy"]
+    if weight_depth > 0:
+        loss = loss + logs["loss_depth"] + logs["loss_dist"]
     return loss, logs
 
 

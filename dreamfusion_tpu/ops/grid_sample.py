@@ -26,8 +26,42 @@ import jax
 import jax.numpy as jnp
 
 
-def grid_sample_3d(grid: jax.Array, xyz01: jax.Array) -> jax.Array:
-    """grid: [C, X, Y, Z]; xyz01: [..., 3] in [0,1] -> [..., C]."""
+@jax.custom_vjp
+def _trilerp(flatT: jax.Array, idx8: jax.Array, w8: jax.Array) -> jax.Array:
+    """sum_k w8[k] * flatT[idx8[k]] -> [B, C]. flatT [XYZ, C]; idx8/w8 [8, B].
+
+    Custom VJP for the same two TPU reasons as the hash encoder
+    (ops/grid_encoder.py): row gathers beat 1-D takes, and autodiff would
+    save lane-padded [8, B, C] residuals. Backward = one deterministic
+    scatter-add; no gradient to positions (set differentiable=True on
+    grid_sample_3d if d/dx is needed — OSR normals use it)."""
+    vals = jnp.take(flatT, idx8, axis=0)                  # [8, B, C]
+    return jnp.einsum("kb,kbc->bc", w8, vals.astype(jnp.float32))
+
+
+def _trilerp_fwd(flatT, idx8, w8):
+    return _trilerp(flatT, idx8, w8), (flatT, idx8, w8)
+
+
+def _trilerp_bwd(res, cot):
+    flatT, idx8, w8 = res
+    upd = w8[..., None] * cot[None, :, :]
+    d = jnp.zeros(flatT.shape, jnp.float32).at[idx8].add(upd)
+    return (d.astype(flatT.dtype), jnp.zeros_like(idx8), jnp.zeros_like(w8))
+
+
+_trilerp.defvjp(_trilerp_fwd, _trilerp_bwd)
+
+
+def grid_sample_3d(grid: jax.Array, xyz01: jax.Array,
+                   differentiable: bool = True) -> jax.Array:
+    """grid: [C, X, Y, Z]; xyz01: [..., 3] in [0,1] -> [..., C].
+
+    differentiable=True (default) keeps d(out)/d(xyz01) — required by the
+    OSR density-gradient normals and the editing bridge's autograd normal.
+    differentiable=False routes through the scatter-optimized custom VJP
+    (grid grads only) for hot training loops.
+    """
     C, X, Y, Z = grid.shape
     prefix = xyz01.shape[:-1]
     x = xyz01.reshape(-1, 3).astype(jnp.float32).T          # [3, B]
@@ -39,7 +73,6 @@ def grid_sample_3d(grid: jax.Array, xyz01: jax.Array) -> jax.Array:
     frac = pos - p0                                           # [3, B]
     p0 = p0.astype(jnp.int32)
 
-    flat = grid.reshape(C, -1)                                # [C, X*Y*Z]
     strides = jnp.array([Y * Z, Z, 1], jnp.int32)[:, None]    # [3, 1]
 
     idx_corners = []
@@ -60,12 +93,13 @@ def grid_sample_3d(grid: jax.Array, xyz01: jax.Array) -> jax.Array:
     idx8 = jnp.stack(idx_corners)                              # [8, B]
     w8 = jnp.stack(w_corners)                                  # [8, B]
 
-    outs = []
-    for c in range(C):
-        vals = jnp.take(flat[c], idx8, axis=0)                 # [8, B]
-        outs.append(jnp.sum(w8 * vals, axis=0))                # [B]
-    out = jnp.stack(outs)                                      # [C, B]
-    return out.T.reshape(*prefix, C)
+    flatT = grid.reshape(C, -1).T                              # [XYZ, C]
+    if differentiable:
+        vals = jnp.take(flatT, idx8, axis=0)                   # [8, B, C]
+        out = jnp.einsum("kb,kbc->bc", w8, vals.astype(jnp.float32))
+    else:
+        out = _trilerp(flatT, idx8, w8)
+    return out.reshape(*prefix, C)
 
 
 def resize_grid_trilinear(grid: jax.Array, new_size) -> jax.Array:
