@@ -25,7 +25,7 @@ REFERENCE_ITERS_PER_SEC = 10000 / (3 * 3600)  # readme.md:20
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sd_weights", default="random-full")
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=10)
     args, _ = ap.parse_known_args()
 
     from dreamfusion_tpu.config import Config
@@ -55,17 +55,18 @@ def main():
     step_fn = make_train_step(cfg, model, guidance, tx, renderer="grid")
     text_z = jnp.zeros((6,) + guidance.get_text_embeds(["x"], ["y"]).shape[1:])
 
-    # measure the D2H sync floor
-    trivial = jax.jit(lambda x: jnp.sum(x))
-    _ = float(trivial(jnp.ones(8)))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        _ = float(trivial(jnp.ones(8)))
-    d2h_floor = (time.perf_counter() - t0) / 5
-
     # warmup/compile
     state, metrics = step_fn(state, guidance.params, text_z, None, gs)
     _ = float(metrics["loss"])
+
+    # measure the D2H sync floor (after warmup; lane-aligned array — tiny
+    # 1-D transfers have tripped backend errors on this tunnel)
+    trivial = jax.jit(lambda x: jnp.sum(x))
+    _ = float(trivial(jnp.ones((8, 128))))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _ = float(trivial(jnp.ones((8, 128))))
+    d2h_floor = (time.perf_counter() - t0) / 5
 
     times = []
     for i in range(args.steps):

@@ -177,7 +177,11 @@ def make_train_step(cfg: Config, model: _BaseNeRF, guidance: Guidance,
                                ema_params=ema)
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    # NOT donated: the occupancy-grid refresh reads state.params between
+    # steps, and donating those buffers on the next step races the pending
+    # read on this backend (reproducible INVALID_ARGUMENT). The state copy
+    # is ~20 MB/step — noise next to the step itself.
+    return jax.jit(train_step)
 
 
 def make_eval_render(cfg: Config, model: _BaseNeRF, H: int, W: int,
