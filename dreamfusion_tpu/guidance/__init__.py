@@ -24,6 +24,8 @@ class Guidance(NamedTuple):
     params: Any                      # frozen pytree passed through the jitted step
     get_text_embeds: Callable        # (prompts, negatives) -> text_z
     loss: Callable                   # (params, text_z, pred_rgb [B,H,W,3], key) -> scalar
+    encode_images: Any = None        # optional: (params, [B,H,W,3]) -> features
+                                     # (used by the CLIP-R-precision metric)
 
 
 def none_guidance() -> Guidance:

@@ -87,12 +87,16 @@ def build_clip_guidance(weights: Optional[str] = None,
         z = model.get_text_features(ids, params=model.params)
         return z / jnp.linalg.norm(z, axis=-1, keepdims=True)
 
-    def loss(params, text_z, pred_rgb, key):
-        """-cos(image_z, text_z), mean over batch (nerf/clip.py:37-46)."""
+    def encode_images(params, pred_rgb):
         pixel_values = clip_preprocess(pred_rgb, image_size)
         image_z = model.get_image_features(pixel_values, params=params)
-        image_z = image_z / jnp.linalg.norm(image_z, axis=-1, keepdims=True)
+        return image_z / jnp.linalg.norm(image_z, axis=-1, keepdims=True)
+
+    def loss(params, text_z, pred_rgb, key):
+        """-cos(image_z, text_z), mean over batch (nerf/clip.py:37-46)."""
+        image_z = encode_images(params, pred_rgb)
         return -jnp.mean(jnp.sum(image_z * text_z, axis=-1))
 
     return Guidance(name="clip", params=model.params,
-                    get_text_embeds=get_text_embeds, loss=loss)
+                    get_text_embeds=get_text_embeds, loss=loss,
+                    encode_images=encode_images)

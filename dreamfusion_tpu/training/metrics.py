@@ -67,6 +67,40 @@ def rgb_ssim(img0: np.ndarray, img1: np.ndarray, max_val: float = 1.0,
     return ssim_map if return_map else float(np.mean(ssim_map))
 
 
+def clip_r_precision(image_features: np.ndarray, text_features: np.ndarray,
+                     true_idx: np.ndarray, R: int = 1) -> float:
+    """CLIP R-precision: fraction of images whose true prompt ranks in the
+    top-R by cosine similarity against all candidate prompts (the
+    DreamFusion/DreamFields eval metric; BASELINE.md's parity metric).
+
+    image_features [N, D], text_features [M, D] (both any norm — normalized
+    here), true_idx [N] the index of each image's ground-truth prompt.
+    """
+    img = image_features / np.linalg.norm(image_features, axis=-1,
+                                          keepdims=True)
+    txt = text_features / np.linalg.norm(text_features, axis=-1, keepdims=True)
+    sims = img @ txt.T                                   # [N, M]
+    rank = np.argsort(-sims, axis=-1)[:, :R]             # top-R prompt ids
+    hits = (rank == np.asarray(true_idx)[:, None]).any(-1)
+    return float(hits.mean())
+
+
+def clip_r_precision_from_renders(guidance, renders: np.ndarray,
+                                  prompts, true_idx, R: int = 1) -> float:
+    """Convenience: encode renders [N, H, W, 3] and prompts with a CLIP
+    guidance (guidance/clip.py, which exposes encode_images) and compute
+    R-precision."""
+    import jax.numpy as jnp
+
+    assert guidance.encode_images is not None, \
+        "guidance must expose encode_images (use the CLIP guidance)"
+    txt = np.asarray(guidance.get_text_embeds(list(prompts),
+                                              [""] * len(prompts)))
+    img = np.asarray(guidance.encode_images(guidance.params,
+                                            jnp.asarray(renders)))
+    return clip_r_precision(img, txt, true_idx, R=R)
+
+
 _lpips_models = {}
 
 

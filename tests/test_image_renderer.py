@@ -45,6 +45,24 @@ def test_image_renderer_and_orbit():
     assert snap.shape == (8, 8, 3)
 
 
+def test_clip_r_precision():
+    from dreamfusion_tpu.training.metrics import (
+        clip_r_precision, clip_r_precision_from_renders)
+
+    rng = np.random.RandomState(0)
+    txt = rng.randn(5, 16)
+    img = txt[[0, 1, 2]] + rng.randn(3, 16) * 0.01  # images match prompts 0-2
+    assert clip_r_precision(img, txt, [0, 1, 2]) == 1.0
+    assert clip_r_precision(img, txt, [4, 4, 4]) == 0.0
+    # through the actual CLIP guidance plumbing (random-tiny weights)
+    from dreamfusion_tpu.guidance.clip import build_clip_guidance
+
+    g = build_clip_guidance("random-tiny")
+    renders = rng.rand(2, 32, 32, 3).astype(np.float32)
+    p = clip_r_precision_from_renders(g, renders, ["a cat", "a dog"], [0, 1])
+    assert 0.0 <= p <= 1.0
+
+
 def test_ssim_psnr():
     rng = np.random.RandomState(0)
     a = rng.rand(32, 32, 3)
