@@ -99,6 +99,10 @@ class Config:
     max_keep_ckpt: int = 2
 
     # -- parallelism --------------------------------------------------------------
+    # number of devices for data parallelism: 1 = single-device, 0 = all
+    # visible devices. Per-device camera batch is batch_size (global batch
+    # = n_devices * batch_size), matching DDP semantics (nerf/utils.py:200).
+    n_devices: int = 1
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all devices on 'data'
     mesh_axes: Tuple[str, ...] = ("data",)
 
@@ -166,6 +170,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ema_decay", type=float, default=None)
     p.add_argument("--optimizer", type=str, default=defaults.optimizer)
     p.add_argument("--max_keep_ckpt", type=int, default=defaults.max_keep_ckpt)
+    p.add_argument("--n_devices", type=int, default=defaults.n_devices,
+                   help="data-parallel device count (0 = all visible)")
     p.add_argument("--bg_radius", type=float, default=defaults.bg_radius)
     p.add_argument("--density_thresh", type=float, default=defaults.density_thresh)
     p.add_argument("--fp16", action="store_true")

@@ -32,6 +32,7 @@ implementation remains the golden oracle.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
@@ -43,57 +44,93 @@ import numpy as np
 _PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
 _U32 = (1 << 32) - 1
 
+# Backward scatter implementation: "auto" picks the Pallas MXU matmul-scatter
+# on TPU and the XLA scatter-add elsewhere; "xla" forces the oracle path;
+# "interpret" runs the Pallas kernel in interpreter mode (CPU tests).
+SCATTER_IMPL = "auto"
 
-@jax.custom_vjp
-def _encode_levels(emb: jax.Array, idx_all: jax.Array,
-                   w_all: jax.Array) -> jax.Array:
-    """All-level gather+blend. emb [T, C]; idx_all/w_all [L, 2^D, B] with
-    idx_all already carrying per-level table offsets. Returns [B, L, C].
+
+def _use_pallas_scatter(level_dim: int) -> Optional[bool]:
+    """None -> xla oracle; True -> pallas compiled; 'interpret' -> pallas
+    interpreter."""
+    if level_dim != 2:
+        return None
+    if SCATTER_IMPL == "xla":
+        return None
+    if SCATTER_IMPL == "interpret":
+        return "interpret"
+    if SCATTER_IMPL == "pallas":
+        return True
+    return True if jax.default_backend() == "tpu" else None
+
+
+@functools.lru_cache(maxsize=None)
+def _make_encode_levels(sizes: Tuple[int, ...], offsets: Tuple[int, ...]):
+    """Per-geometry gather+blend with custom VJP. The static per-level
+    (size, offset) tuples let the backward emit one Pallas matmul-scatter
+    per level (see ops/pallas_scatter.py).
 
     The custom VJP exists for two TPU reasons (both measured on v5e):
     1. Plain autodiff saves the gathered [2^D, B, C] values per level as
        residuals; the C=2 trailing dim pads 64x in HBM (~2 GB/level at 0.5M
        points) and the backward drowns in spills. Here the residuals are the
        lane-friendly [L, 2^D, B] index/weight arrays only.
-    2. The backward is the TPU scatter-add wall (~23M row-updates/s on v5e;
-       the reference's GPU atomicAdd does >1G/s): 8 corners * B points * L
-       levels updates per step. Measured granularities at 67M updates:
-       one combined scatter 5.4s, 16 per-level scatters 2.9s (XLA overlaps
-       them), 128 per-corner scatters 3.8s — so the backward emits one
-       scatter per level, the measured optimum. This is the #1 target for a
-       future Pallas binning kernel (NOTES.md).
+    2. The backward is the TPU scatter wall (reference: CUDA atomicAdd,
+       gridencoder.cu:296-311). XLA scatter-add measured 57-65M row-updates/s
+       on v5e (~1.2 s/step at 67M updates); the Pallas MXU matmul-scatter
+       does 486M rows/s (8.6 ms/level at J=4.2M) — the backward emits one
+       kernel per level, falling back to XLA scatter off-TPU or for C != 2.
 
     Gradients w.r.t. the sample positions are NOT propagated (matching the
     reference's default calc_grad_inputs=False, gridencoder/grid.py:149 —
     positions never require grad in any render path; set
     differentiable_inputs=True on the spec if they must).
     """
-    L = idx_all.shape[0]
-    outs = []
-    for lvl in range(L):  # per-level loop keeps forward fusions small
-        vals = jnp.take(emb, idx_all[lvl], axis=0)       # [K, B, C]
-        outs.append(jnp.einsum("kb,kbc->bc", w_all[lvl],
-                               vals.astype(jnp.float32)))
-    return jnp.stack(outs, axis=1)                       # [B, L, C]
 
+    @jax.custom_vjp
+    def _encode_levels(emb: jax.Array, idx_all: jax.Array,
+                       w_all: jax.Array) -> jax.Array:
+        """emb [T, C]; idx_all/w_all [L, 2^D, B] with idx_all already
+        carrying per-level table offsets. Returns [B, L, C]."""
+        L = idx_all.shape[0]
+        outs = []
+        for lvl in range(L):  # per-level loop keeps forward fusions small
+            vals = jnp.take(emb, idx_all[lvl], axis=0)       # [K, B, C]
+            outs.append(jnp.einsum("kb,kbc->bc", w_all[lvl],
+                                   vals.astype(jnp.float32)))
+        return jnp.stack(outs, axis=1)                       # [B, L, C]
 
-def _encode_levels_fwd(emb, idx_all, w_all):
-    # emb rides along only for shape/dtype (it's a live param alias, ~6 MB)
-    return _encode_levels(emb, idx_all, w_all), (emb, idx_all, w_all)
+    def _encode_levels_fwd(emb, idx_all, w_all):
+        # emb rides along only for shape/dtype (a live param alias, ~6 MB)
+        return _encode_levels(emb, idx_all, w_all), (emb, idx_all, w_all)
 
+    def _encode_levels_bwd(res, cot):
+        from dreamfusion_tpu.ops.pallas_scatter import matmul_scatter_add
 
-def _encode_levels_bwd(res, cot):
-    emb, idx_all, w_all = res                            # cot: [B, L, C]
-    L = idx_all.shape[0]
-    d_emb = jnp.zeros(emb.shape, jnp.float32)
-    for lvl in range(L):  # per-level scatters: measured optimum (see above)
-        upd = w_all[lvl][..., None] * cot[:, lvl, :][None, :, :]  # [K, B, C]
-        d_emb = d_emb.at[idx_all[lvl]].add(upd)
-    return (d_emb.astype(emb.dtype), jnp.zeros_like(idx_all),
-            jnp.zeros_like(w_all))
+        emb, idx_all, w_all = res                            # cot: [B, L, C]
+        L = idx_all.shape[0]
+        C = emb.shape[-1]
+        pallas = _use_pallas_scatter(C)
+        if pallas is None:
+            d_emb = jnp.zeros(emb.shape, jnp.float32)
+            for lvl in range(L):
+                upd = w_all[lvl][..., None] * cot[:, lvl, :][None, :, :]
+                d_emb = d_emb.at[idx_all[lvl]].add(upd)
+        else:
+            parts = []
+            for lvl in range(L):
+                local = (idx_all[lvl] - offsets[lvl]).reshape(-1)  # [K*B]
+                u0 = (w_all[lvl] * cot[:, lvl, 0][None, :]).reshape(-1)
+                u1 = (w_all[lvl] * cot[:, lvl, 1][None, :]).reshape(-1)
+                parts.append(matmul_scatter_add(
+                    local, u0, u1, sizes[lvl],
+                    interpret=(pallas == "interpret")))
+            d_emb = jnp.concatenate(parts, axis=0)
+        return (d_emb.astype(emb.dtype), jnp.zeros_like(idx_all),
+                jnp.zeros_like(w_all))
 
-
-_encode_levels.defvjp(_encode_levels_fwd, _encode_levels_bwd)
+    _encode_levels.defvjp(_encode_levels_fwd, _encode_levels_bwd)
+    return _encode_levels
 
 
 def _level_geometry(num_levels, base_resolution, per_level_scale, log2_hashmap_size,
@@ -272,8 +309,9 @@ class GridEncoderSpec:
         if self.differentiable_inputs:
             out = jnp.concatenate(outs, axis=-1)     # [B, L*C]
         else:
-            out = _encode_levels(embeddings, jnp.stack(idx_levels),
-                                 jnp.stack(w_levels))  # [B, L, C]
+            encode = _make_encode_levels(tuple(sizes), tuple(offsets))
+            out = encode(embeddings, jnp.stack(idx_levels),
+                         jnp.stack(w_levels))        # [B, L, C]
             out = out.reshape(out.shape[0], -1)
         out = jnp.where(oob[:, None], 0.0, out)
         return out.reshape(*prefix, self.num_levels * C)

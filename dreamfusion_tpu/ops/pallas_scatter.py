@@ -1,0 +1,122 @@
+"""MXU-based scatter-add for hash-table gradients (the TPU scatter wall).
+
+The hash-grid encoder backward must compute, per level,
+
+    d_emb[idx_u, c] += upd[u, c]        for u in [0, J),  J = 8 * B samples
+
+(reference behavior: gridencoder/src/gridencoder.cu:296-311, a CUDA
+atomicAdd doing ~67M row-updates in ~10 ms). XLA's TPU scatter-add
+serializes row updates (~23 M rows/s measured on v5e), which made this one
+scatter ~2.9 s/step — the round-1 perf wall.
+
+TPU-native fix: decompose the row index into radix parts
+
+    idx = coarse * 64 + fine,   coarse in [0, T/64),  fine in [0, 64)
+
+and express the scatter as ONE dense matmul per level:
+
+    out[p, fine*C + c] = sum_u  A[p, u] * B[u, fine*C + c]
+    A[p, u]            = (coarse_u == p)                  # one-hot, 0/1
+    B[u, j]            = (fine_u == j // C) * upd[u, j % C]
+
+`out` is exactly the [T/64, 64*C] reshaping of d_emb [T, C]. Both A and B
+are generated on the fly in VMEM (never materialized in HBM), and the
+contraction runs on the MXU: ~1.1e12 bf16 FLOPs per level at J=4.2M —
+milliseconds instead of the serialized scatter's ~180 ms/level.
+
+Accuracy: A is exact in bf16 (0/1); B rounds the update values to bf16 but
+accumulation is f32 (preferred_element_type). The reference accumulates in
+fp16 atomics (gridencoder.cu:22-26, __half2 path) — so this is at least as
+accurate as the CUDA kernel it replaces. An f32-exact path would use the
+bf16x2 split trick at 2x cost; tests show bf16 is well within SDS gradient
+noise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# fine radix bits; 64 fine slots * C=2 channels = 128 output lanes
+_FINE_BITS = 6
+_FINE = 1 << _FINE_BITS
+_CHUNK = 2048  # updates per grid step
+
+
+_SUB = _CHUNK // 8  # lane width of one sub-chunk (inputs are [n, 8, _SUB])
+
+
+def _scatter_kernel(coarse_ref, fine_ref, u0_ref, u1_ref, out_ref):
+    """One grid step: accumulate a CHUNK of updates into the full
+    [R, 64*C] output block (out block is the whole table, revisited).
+
+    Inputs arrive as [1, 8, _SUB] blocks (Mosaic needs the trailing two
+    dims tile-aligned); the 8 sublane rows are processed as 8 unrolled
+    [R, _SUB] @ [_SUB, 128] matmuls to avoid cross-lane reshapes."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    R = out_ref.shape[0]
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, _SUB), 0)
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 2 * _FINE), 1)
+    for s in range(8):
+        coarse = coarse_ref[0, s]   # [_SUB] i32 (padded entries = -1)
+        fine = fine_ref[0, s]       # [_SUB] i32
+        u0 = u0_ref[0, s]           # [_SUB] f32
+        u1 = u1_ref[0, s]           # [_SUB] f32
+
+        a = (rows == coarse[None, :]).astype(jnp.bfloat16)       # [R, _SUB]
+        fmask = fine[:, None] == (jcol >> 1)                     # [_SUB, 128]
+        uval = jnp.where((jcol & 1) == 0, u0[:, None], u1[:, None])
+        b = jnp.where(fmask, uval, 0.0).astype(jnp.bfloat16)     # [_SUB, 128]
+        acc += jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    out_ref[:] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("table_size", "interpret"))
+def matmul_scatter_add(local_idx: jax.Array, u0: jax.Array, u1: jax.Array,
+                       table_size: int, interpret: bool = False) -> jax.Array:
+    """d_emb = zeros([table_size, 2]).at[local_idx].add(stack([u0, u1], -1))
+    computed as a dense MXU matmul (see module docstring).
+
+    local_idx: [J] int32 in [0, table_size); u0/u1: [J] f32 per-channel
+    update values. Returns [table_size, 2] f32.
+    """
+    J = local_idx.shape[0]
+    n_chunks = -(-J // _CHUNK)
+    pad = n_chunks * _CHUNK - J
+    if pad:
+        local_idx = jnp.pad(local_idx, (0, pad), constant_values=-1)
+        u0 = jnp.pad(u0, (0, pad))
+        u1 = jnp.pad(u1, (0, pad))
+
+    coarse = jnp.where(local_idx < 0, -1, local_idx >> _FINE_BITS)
+    fine = local_idx & (_FINE - 1)
+    R = -(-table_size // _FINE)          # output rows (each covers 64 rows)
+    R_pad = -(-R // 8) * 8               # sublane alignment
+
+    out = pl.pallas_call(
+        _scatter_kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 8, _SUB), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_specs=pl.BlockSpec((R_pad, 2 * _FINE), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R_pad, 2 * _FINE), jnp.float32),
+        interpret=interpret,
+    )(coarse.reshape(n_chunks, 8, _SUB), fine.reshape(n_chunks, 8, _SUB),
+      u0.reshape(n_chunks, 8, _SUB), u1.reshape(n_chunks, 8, _SUB))
+
+    return out.reshape(R_pad * _FINE, 2)[:table_size]

@@ -185,11 +185,16 @@ def make_train_step(cfg: Config, model: _BaseNeRF, guidance: Guidance,
 
 
 def make_eval_render(cfg: Config, model: _BaseNeRF, H: int, W: int,
-                     chunk: int = 4096, renderer: str = "stratified"):
+                     chunk: int = 4096, renderer: str = "stratified",
+                     mesh=None):
     """Jitted full-frame staged renderer (white bg, albedo shading,
-    no perturb) — the reference's eval/test path (nerf/utils.py:406-456)."""
+    no perturb) — the reference's eval/test path (nerf/utils.py:406-456).
 
-    def render_frame(params, rays_o, rays_d, grid_state=None):
+    With a mesh, the ray axis is sharded over devices (the TPU analog of
+    the reference's eval all_gather, nerf/utils.py:787-797) and chunking
+    bounds per-device memory."""
+
+    def ray_fn(params, rays_o, rays_d, grid_state=None):
         fns = make_field_fns(model, params)._replace(normal=None)
         light_d = cameras.safe_normalize(rays_o[0])
         key = jax.random.PRNGKey(0)
@@ -212,8 +217,20 @@ def make_eval_render(cfg: Config, model: _BaseNeRF, H: int, W: int,
                 shading_code=SHADING_ALBEDO, perturb=False)
 
         out = render_rays_chunked(rf, rays_o, rays_d, chunk=chunk)
+        return {"image": out["image"], "depth": out["depth"],
+                "weights_sum": out["weights_sum"]}
+
+    fn = ray_fn
+    if mesh is not None:
+        from dreamfusion_tpu.parallel.sharding import shard_rays_render
+
+        fn = shard_rays_render(ray_fn, mesh)
+
+    def render_frame(params, rays_o, rays_d, grid_state=None):
+        out = fn(params, rays_o, rays_d, grid_state)
         return {"image": out["image"].reshape(H, W, 3),
-                "depth": out["depth"].reshape(H, W)}
+                "depth": out["depth"].reshape(H, W),
+                "weights_sum": out["weights_sum"].reshape(H, W)}
 
     return jax.jit(render_frame)
 
@@ -276,9 +293,24 @@ class Trainer:
         # text embeddings (nerf/utils.py:290-319)
         self.text_z = self._prepare_text_embeddings()
 
+        # data-parallel mesh (the DDP analog, SURVEY §2.4): n_devices > 1
+        # shards the camera batch (training) and the ray axis (eval)
+        self.mesh = None
+        n_dev = cfg.n_devices if cfg.n_devices else len(jax.devices())
+        if n_dev > 1:
+            if len(jax.devices()) < n_dev:
+                raise ValueError(
+                    f"n_devices={n_dev} but only {len(jax.devices())} "
+                    "devices visible")
+            from dreamfusion_tpu.parallel.sharding import make_mesh
+
+            self.mesh = make_mesh(n_dev)
+
         self._train_step = make_train_step(cfg, self.model, self.guidance,
-                                           self.tx, renderer=self.renderer)
+                                           self.tx, renderer=self.renderer,
+                                           mesh=self.mesh)
         self._eval_render = None
+        self.stats = {"valid_loss": [], "best_result": None}
 
         use_ckpt = use_checkpoint if use_checkpoint is not None else cfg.ckpt
         if use_ckpt not in ("scratch",):
@@ -349,9 +381,11 @@ class Trainer:
 
     def _get_eval_render(self, H, W):
         if self._eval_render is None or self._eval_render[0] != (H, W):
-            chunk = min(H * W, self.cfg.max_ray_batch)
+            n = self.mesh.devices.size if self.mesh is not None else 1
+            chunk = min(max(H * W // n, 1), self.cfg.max_ray_batch)
             self._eval_render = ((H, W), make_eval_render(
-                self.cfg, self.model, H, W, chunk=chunk, renderer=self.renderer))
+                self.cfg, self.model, H, W, chunk=chunk,
+                renderer=self.renderer, mesh=self.mesh))
         return self._eval_render[1]
 
     def _render_orbit_frame(self, i: int, size: int, H: int, W: int):
@@ -373,15 +407,30 @@ class Trainer:
             Image.fromarray(d).save(path_depth)
 
     def evaluate(self, step: int = 0, size: Optional[int] = None):
-        """Validation image dumps (nerf/utils.py:757-819)."""
+        """Validation image dumps + eval loss + best tracking
+        (nerf/utils.py:757-845). Eval loss is the reference's eval_step
+        metric: lambda_entropy * binary entropy of weights_sum
+        (nerf/utils.py:425-431)."""
         size = size or self.cfg.val_size
         vdir = os.path.join(self.workspace, "validation")
         os.makedirs(vdir, exist_ok=True)
+        total = 0.0
         for i in range(size):
             out = self._render_orbit_frame(i, size, self.cfg.H, self.cfg.W)
+            a = jnp.clip(out["weights_sum"], 1e-5, 1 - 1e-5)
+            ent = jnp.mean(-a * jnp.log2(a) - (1 - a) * jnp.log2(1 - a))
+            total += self.cfg.lambda_entropy * float(ent)
             self._save_frame(out,
                              os.path.join(vdir, f"{self.name}_{step:06d}_{i:04d}_rgb.png"),
                              os.path.join(vdir, f"{self.name}_{step:06d}_{i:04d}_depth.png"))
+        avg = total / max(size, 1)
+        self.stats["valid_loss"].append(avg)
+        best = self.stats["best_result"]
+        if best is None or avg < best:   # (nerf/utils.py:884-900)
+            self.log({"step": step, "new_best": avg, "prev_best": best})
+            self.stats["best_result"] = avg
+            self.save_checkpoint(best=True)
+        return avg
 
     def test(self, size: Optional[int] = None, write_video: bool = True):
         """360-degree orbit render (nerf/utils.py:507-555). Saves PNG frames
@@ -432,13 +481,20 @@ class Trainer:
 
     # -- checkpointing (nerf/utils.py:847-968) -------------------------------------
 
-    def save_checkpoint(self):
+    def save_checkpoint(self, best: bool = False):
+        """Rotating step checkpoints; with best=True, a separate "best"
+        snapshot whose params are the EMA weights when EMA is on — the
+        reference's ema.store/copy_to best path (nerf/utils.py:884-900)."""
         import orbax.checkpoint as ocp
 
         step = int(self.state.step)
-        path = os.path.join(self.ckpt_dir, f"step_{step:08d}")
+        path = os.path.join(self.ckpt_dir,
+                            "best" if best else f"step_{step:08d}")
         ckptr = ocp.StandardCheckpointer()
-        payload = {"params": self.state.params,
+        params = self.state.params
+        if best and self.state.ema_params is not None:
+            params = self.state.ema_params
+        payload = {"params": params,
                    "opt_state": self.state.opt_state,
                    "step": np.array(step, np.int32)}
         if self.state.ema_params is not None:
@@ -447,7 +503,11 @@ class Trainer:
             payload["grid_state"] = self.grid_state._asdict()
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
-        # rotation: keep max_keep_ckpt
+        with open(os.path.join(self.ckpt_dir, "stats.json"), "w") as f:
+            json.dump(self.stats, f)
+        if best:
+            return path
+        # rotation: keep max_keep_ckpt (the best snapshot is exempt)
         ckpts = sorted(d for d in os.listdir(self.ckpt_dir) if d.startswith("step_"))
         for old in ckpts[: -self.cfg.max_keep_ckpt]:
             import shutil
@@ -458,7 +518,10 @@ class Trainer:
     def load_checkpoint(self, which: str = "latest"):
         import orbax.checkpoint as ocp
 
-        if which in ("latest", "best", "latest_model"):
+        best_path = os.path.join(self.ckpt_dir, "best")
+        if which == "best" and os.path.exists(best_path):
+            path = best_path
+        elif which in ("latest", "best", "latest_model"):
             ckpts = sorted(d for d in os.listdir(self.ckpt_dir)
                            if d.startswith("step_"))
             if not ckpts:
@@ -468,6 +531,13 @@ class Trainer:
             path = which
             if not os.path.exists(path):
                 return False
+        stats_path = os.path.join(self.ckpt_dir, "stats.json")
+        if os.path.exists(stats_path):
+            try:
+                with open(stats_path) as f:
+                    self.stats = json.load(f)
+            except Exception:
+                pass
         ckptr = ocp.StandardCheckpointer()
         payload = {"params": self.state.params,
                    "opt_state": self.state.opt_state,

