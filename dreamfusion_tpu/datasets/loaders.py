@@ -114,11 +114,64 @@ def load_llff_data(basedir: str, factor: int = 8, bd_factor: float = 0.75,
     if recenter:
         poses = _recenter_poses(poses)
 
+    if spherify:
+        poses, render_poses, bds = _spherify_poses(poses, bds)
+    else:
+        render_poses = np.stack([p[:3, :4] for p in poses])  # input orbit
+
     i_test = np.array([np.argmin(
         np.sum(np.square(poses[:, :3, 3]
                          - poses[:, :3, 3].mean(0)), -1))])
-    render_poses = np.stack([p[:3, :4] for p in poses])  # reuse input orbit
     return imgs, poses, bds, render_poses, i_test
+
+
+def _spherify_poses(poses, bds):
+    """Recenter around the point closest to all camera axes, normalize to
+    unit radius, and generate a circular render path at the cameras' mean
+    height (behavioral parity with load_llff.py:210-267 — 360 inward-facing
+    capture support)."""
+    def norm(v):
+        return v / np.linalg.norm(v)
+
+    rays_d = poses[:, :3, 2:3]
+    rays_o = poses[:, :3, 3:4]
+    # least-squares point nearest all camera view lines
+    A = np.eye(3) - rays_d * np.transpose(rays_d, (0, 2, 1))
+    b = -A @ rays_o
+    center = np.squeeze(
+        -np.linalg.inv((np.transpose(A, (0, 2, 1)) @ A).mean(0)) @ b.mean(0))
+
+    up = (poses[:, :3, 3] - center).mean(0)
+    vec0 = norm(up)
+    vec1 = norm(np.cross([0.1, 0.2, 0.3], vec0))
+    vec2 = norm(np.cross(vec0, vec1))
+    c2w = np.stack([vec1, vec2, vec0, center], 1)
+    bottom = np.array([[0, 0, 0, 1.0]])
+    w2c = np.linalg.inv(np.concatenate([c2w, bottom], 0))
+    p44 = np.concatenate(
+        [poses[:, :3, :4], np.tile(bottom[None], (poses.shape[0], 1, 1))], 1)
+    reset = (w2c[None] @ p44)[:, :3, :4]
+
+    rad = np.sqrt(np.mean(np.sum(np.square(reset[:, :3, 3]), -1)))
+    sc = 1.0 / rad
+    reset[:, :3, 3] *= sc
+    bds = bds * sc
+
+    zh = np.mean(reset[:, :3, 3], 0)[2]
+    radcircle = np.sqrt(max(1.0 - zh ** 2, 1e-12))
+    new_poses = []
+    for th in np.linspace(0.0, 2.0 * np.pi, 120):
+        cam = np.array([radcircle * np.cos(th), radcircle * np.sin(th), zh])
+        v2 = norm(cam)
+        v0 = norm(np.cross(v2, np.array([0, 0, -1.0])))
+        v1 = norm(np.cross(v2, v0))
+        new_poses.append(np.stack([v0, v1, v2, cam], 1))
+    new_poses = np.stack(new_poses, 0).astype(np.float32)
+
+    hwf = poses[0, :3, 4:]
+    reset = np.concatenate(
+        [reset, np.broadcast_to(hwf, reset[:, :3, :1].shape)], -1)
+    return reset.astype(np.float32), new_poses, bds
 
 
 def _recenter_poses(poses):

@@ -153,3 +153,73 @@ def gather_training_rays(data_dict: Dict, cfg_data: Dict, split: str = "i_train"
         imsz.append(len(rgb))
     return (np.concatenate(rgb_all), np.concatenate(ro_all),
             np.concatenate(rd_all), np.concatenate(vd_all), np.array(imsz))
+
+
+class ErrorMapRaySampler:
+    """Error-map-weighted ray sampler for image-supervised training.
+
+    Rebuilds the reference's error-map subsampling (nerf/utils.py:73-83):
+    each view keeps a 128x128 coarse error map; rays are importance-sampled
+    from it (ops/misc.sample_rays_with_error_map) and the map is EMA-updated
+    from the per-ray loss of the step that consumed them
+    (torch-ngp heritage: error_map = 0.1*old + 0.9*err). Iterating yields
+    (rays_d, rays_o, viewdirs, rgb) batches like the plain loaders; a
+    trainer that reports per-ray errors calls update_last() after its step.
+    """
+
+    def __init__(self, data_dict: Dict, cfg_data: Dict, batch_size: int,
+                 split: str = "i_train", seed: int = 0, res: int = 128):
+        import jax
+
+        HW = np.asarray(data_dict["HW"])
+        Ks = np.asarray(data_dict["Ks"])
+        poses = np.asarray(data_dict["poses"])
+        self.batch_size = batch_size
+        self.res = res
+        self.views = []
+        for idx in np.asarray(data_dict[split]):
+            H, W = int(HW[idx][0]), int(HW[idx][1])
+            ro, rd, vd = get_rays_of_a_view(
+                H, W, Ks[idx], poses[idx],
+                **{k: v for k, v in cfg_data.items()
+                   if k in ("ndc", "inverse_y", "flip_x", "flip_y", "mode",
+                            "img_type")})
+            img = np.asarray(data_dict["images"][idx], np.float32)[..., :3]
+            self.views.append(dict(
+                H=H, W=W, rgb=img.reshape(-1, 3),
+                ro=np.asarray(ro).reshape(-1, 3),
+                rd=np.asarray(rd).reshape(-1, 3),
+                vd=np.asarray(vd).reshape(-1, 3)))
+        self.error_map = np.ones((len(self.views), res * res), np.float32)
+        self._key = jax.random.PRNGKey(seed)
+        self._rng = np.random.RandomState(seed)
+        self._last = None
+
+    def __iter__(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dreamfusion_tpu.ops.misc import sample_rays_with_error_map
+
+        while True:
+            v = int(self._rng.randint(len(self.views)))
+            view = self.views[v]
+            self._key, k = jax.random.split(self._key)
+            inds, inds_coarse = sample_rays_with_error_map(
+                k, jnp.asarray(self.error_map[v]).reshape(self.res, self.res),
+                self.batch_size, view["H"], view["W"])
+            inds = np.asarray(inds)
+            self._last = (v, np.asarray(inds_coarse))
+            yield (view["rd"][inds], view["ro"][inds], view["vd"][inds],
+                   view["rgb"][inds])
+
+    def update_last(self, per_ray_err) -> None:
+        """EMA-update the coarse error map from the last batch's per-ray
+        squared error (nerf/utils.py error-map update)."""
+        if self._last is None:
+            return
+        v, inds_coarse = self._last
+        err = np.asarray(per_ray_err, np.float32)
+        em = self.error_map[v]
+        em[inds_coarse] = 0.1 * em[inds_coarse] + 0.9 * err
+        self._last = None

@@ -200,6 +200,9 @@ class DVGOTrainer:
                     loss = loss + stage.weight_tv_k0 * total_variation(
                         p["params"]["k0"])
                 logs["psnr"] = psnr(out["rgb_marched"], target)
+                # per-ray sq error for error-map samplers (nerf/utils.py:73-83)
+                logs["per_ray_err"] = jnp.mean(
+                    (out["rgb_marched"] - target[..., :3]) ** 2, axis=-1)
                 return loss, logs
 
             (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -238,6 +241,10 @@ class DVGOTrainer:
                 batch = tuple(jnp.asarray(b) for b in batch)
                 self.params, self.opt_state, logs = self._step_fn(
                     self.params, self.opt_state, batch, k)
+                per_ray_err = logs.pop("per_ray_err", None)
+                if per_ray_err is not None and hasattr(train_loader,
+                                                       "update_last"):
+                    train_loader.update_last(per_ray_err)
                 if log_fn and (it % log_every == 0 or it == self.stage.n_iters - 1):
                     log_fn(it, {k_: float(v) for k_, v in logs.items()})
                 it += 1
