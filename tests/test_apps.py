@@ -24,6 +24,7 @@ def test_orbit_camera():
     np.testing.assert_allclose(intr[0], 64 / (2 * np.tan(np.pi / 6)), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_gui_core_train_and_preview(tmp_path):
     from dreamfusion_tpu.apps.gui import NeRFGUICore
     from dreamfusion_tpu.config import Config
@@ -50,6 +51,7 @@ def test_gui_core_train_and_preview(tmp_path):
     assert core.render_buffer is not None
 
 
+@pytest.mark.slow
 def test_txt2img_pipeline_tiny():
     from dreamfusion_tpu.guidance.sd.pipeline import prompt_to_img
 

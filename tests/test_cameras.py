@@ -59,6 +59,7 @@ def _get_rays_numpy(pose, fx, fy, cx, cy, H, W):
     return rays_o, rays_d
 
 
+@pytest.mark.slow
 def test_get_rays_matches_reference_math():
     key = jax.random.PRNGKey(1)
     poses, _, _, _ = cameras.rand_poses(key, 2)
@@ -74,6 +75,7 @@ def test_get_rays_matches_reference_math():
         np.testing.assert_allclose(np.asarray(rays.origins[b]), o_np, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sample_batches_jittable():
     cfg = Config(h=8, w=8, H=16, W=16)
     out = jax.jit(lambda k: cameras.sample_train_batch(k, cfg, B=2),

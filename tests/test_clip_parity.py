@@ -34,6 +34,7 @@ def pair(tmp_path_factory):
     return pt, fx
 
 
+@pytest.mark.slow
 def test_text_features_match(pair):
     pt, fx = pair
     ids = np.array([[49406, 123, 456, 49407] + [49407] * 73], np.int32)
@@ -43,6 +44,7 @@ def test_text_features_match(pair):
     np.testing.assert_allclose(zf, zt, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_image_features_match(pair):
     pt, fx = pair
     rng = np.random.RandomState(0)
@@ -53,6 +55,7 @@ def test_image_features_match(pair):
     np.testing.assert_allclose(zf, zt, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_guidance_loss_matches_torch_reference(pair):
     """End-to-end: our preprocess + loss vs a torch reimplementation of
     nerf/clip.py:37-46 on the same weights."""

@@ -7,6 +7,7 @@ values AND grads against it is the golden test SURVEY.md §4 calls the most
 regression-prone math in the repo.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,6 +52,7 @@ def test_exclusive_cumprod():
                                [[1.0, 2.0, 6.0]])
 
 
+@pytest.mark.slow
 def test_composite_matches_sequential_forward():
     sigmas, rgbs, deltas = _random_inputs(jax.random.PRNGKey(0))
     out = composite(sigmas, rgbs, deltas)
@@ -60,6 +62,7 @@ def test_composite_matches_sequential_forward():
     np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(rgb), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_composite_grads_match_sequential():
     """Gradients of the parallel compositor == gradients of the sequential
     loop (== the CUDA analytic backward)."""

@@ -34,6 +34,7 @@ def test_grid_sample_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grid_sample_gradients():
     grid = jnp.asarray(np.random.RandomState(1).randn(1, 4, 4, 4), jnp.float32)
     x = jnp.array([[0.3, 0.5, 0.7]])
@@ -86,6 +87,7 @@ def _tiny_field(rgbnet=None):
 
 
 @pytest.mark.parametrize("rgbnet", [None, "resmlp", "basicmlp"])
+@pytest.mark.slow
 def test_dvgo_render_and_losses(rgbnet):
     field = _tiny_field(rgbnet)
     key = jax.random.PRNGKey(0)
@@ -135,6 +137,7 @@ def test_mask_cache():
     assert not bool(mc(corner)[0])
 
 
+@pytest.mark.slow
 def test_kailu_editing_bridge(tmp_path):
     """Frozen geometry + trainable rgbnet; synthetic torch .dvgo roundtrip."""
     import torch

@@ -57,6 +57,7 @@ def _synthetic_scene(n_views=6, H=12, W=12):
     return data
 
 
+@pytest.mark.slow
 def test_dvgo_trainer_improves_psnr():
     data = _synthetic_scene()
     from dreamfusion_tpu.datasets.rays import gather_training_rays
@@ -79,6 +80,7 @@ def test_dvgo_trainer_improves_psnr():
     assert psnr1 > psnr0 + 1.0, (psnr0, psnr1)
 
 
+@pytest.mark.slow
 def test_full_pipeline_and_dvgo_interop(tmp_path):
     from dreamfusion_tpu.training.nerf_pipeline import train_nerf_models
 

@@ -1,6 +1,7 @@
 """Occupancy-grid marching tests: python-loop oracle of the CUDA DDA
 (raymarching.cu:312-490) vs the vectorized fixed-K implementation."""
 
+import pytest
 import math
 
 import jax
@@ -150,6 +151,7 @@ def test_update_grid_marks_ball_occupied():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_render_grid_matches_stratified_on_ball():
     """Path B should agree with path A (the oracle renderer) on an
     analytic scene."""

@@ -45,6 +45,7 @@ def test_annealing_pos_embedder():
     ("osr_rgi_fine", dict(rgbnet_name="basicmlp", posbase_pe=2,
                           viewbase_pe=2)),
 ])
+@pytest.mark.slow
 def test_osr_variants_render_and_grad(name, kw):
     field = get_field(name, world_size=(8, 8, 8), k0_dim=4, alpha_init=1e-2,
                       rgbnet_width=16, rgbnet_depth=3, **kw)

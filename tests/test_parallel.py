@@ -1,5 +1,6 @@
 """Mesh-parallelism tests on the virtual 8-device CPU mesh."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,6 +23,7 @@ def _ball_fns():
     return FieldFns(field=field, density=density, background=None)
 
 
+@pytest.mark.slow
 def test_shard_rays_render_matches_single_device():
     mesh = make_mesh(8)
     fns = _ball_fns()

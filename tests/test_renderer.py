@@ -69,6 +69,7 @@ def _tiny_cfg(**kw):
 
 
 @pytest.mark.parametrize("cls", [NeRFGridNetwork, NeRFVanillaNetwork])
+@pytest.mark.slow
 def test_network_render_and_grad(cls):
     model = cls(bound=1.0, bg_radius=1.4)
     x = jnp.zeros((4, 3))

@@ -46,6 +46,7 @@ def test_timestep_embedding():
     np.testing.assert_allclose(np.asarray(emb[0, 160:]), 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_tiny_unet_shapes_and_grad():
     unet = tiny_unet()
     key = jax.random.PRNGKey(0)
@@ -60,6 +61,7 @@ def test_tiny_unet_shapes_and_grad():
     assert float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_tiny_vae_roundtrip_shapes():
     vae = tiny_vae()
     key = jax.random.PRNGKey(0)
@@ -75,6 +77,7 @@ def test_tiny_vae_roundtrip_shapes():
     assert float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_sds_gradient_matches_two_phase_backward():
     """d(sds_loss)/d(pred_rgb) must equal vjp of latents with cotangent
     w*(eps_hat - noise) — i.e. the reference's latents.backward(gradient=...)"""
@@ -120,6 +123,7 @@ def test_sds_gradient_matches_two_phase_backward():
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sds_trains_toward_lower_loss_shape():
     """Smoke: guidance loss is finite and differentiable wrt a [B,H,W,3]
     image through jit."""

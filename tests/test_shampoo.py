@@ -1,6 +1,7 @@
 """Shampoo optimizer tests: inverse-pth-root accuracy, quadratic convergence,
 block partitioning."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +25,7 @@ def test_matrix_inverse_pth_root():
         assert err < 0.05, (p, err)
 
 
+@pytest.mark.slow
 def test_shampoo_optimizes_quadratic():
     rng = np.random.RandomState(1)
     A = rng.randn(6, 6).astype(np.float32)

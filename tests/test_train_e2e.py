@@ -57,6 +57,7 @@ def test_shading_schedule_codes(tmp_path):
     assert 1 in codes and 2 in codes
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg = _tiny_cfg(tmp_path, guidance="none")
     trainer = Trainer("t", cfg, guidance=none_guidance(), use_checkpoint="scratch")
@@ -83,6 +84,7 @@ def test_eval_and_test_write_frames(tmp_path):
     assert any(f.endswith("_rgb.png") for f in os.listdir(tdir))
 
 
+@pytest.mark.slow
 def test_train_grid_ray_e2e(tmp_path):
     """Path B (occupancy-grid renderer) end-to-end: grid refresh + fixed-K
     marching + jitted step — the '-O' pipeline on tiny shapes."""
@@ -103,6 +105,7 @@ def test_train_grid_ray_e2e(tmp_path):
     trainer.evaluate(step=3, size=1)
 
 
+@pytest.mark.slow
 def test_train_sds_e2e(tmp_path):
     """Full SDS pipeline on tiny shapes: render -> VAE encode -> UNet CFG ->
     single-loss SDS -> one jitted update (BASELINE config 3 analog)."""
@@ -125,6 +128,7 @@ def test_dir_text_embeddings_shape(tmp_path):
     assert trainer.text_z.shape[0] == 6  # front/side/back/side/overhead/bottom
 
 
+@pytest.mark.slow
 def test_best_checkpoint_distinct_from_latest(tmp_path):
     """'best' must load the best-eval snapshot (EMA weights), not the
     newest checkpoint (VERDICT r1 weak #7; reference nerf/utils.py:884-900)."""
@@ -152,6 +156,7 @@ def test_best_checkpoint_distinct_from_latest(tmp_path):
     assert max(diffs) > 0
 
 
+@pytest.mark.slow
 def test_trainer_data_parallel_cpu_mesh(tmp_path):
     """main-path DP: Trainer builds the mesh from cfg.n_devices and trains
     on the 8-device virtual CPU mesh (VERDICT r1 next #4)."""

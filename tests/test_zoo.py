@@ -32,6 +32,7 @@ def _render_field(field, key=0, with_key=True):
     ("dvgo360_fine", dict(k0_dim=4, rgbnet_name="basicmlp", rgbnet_width=16,
                           rgbnet_depth=3, posbase_pe=2, viewbase_pe=2)),
 ])
+@pytest.mark.slow
 def test_zoo_fields_render_and_grad(name, kw):
     field = get_field(name, world_size=(8, 8, 8), alpha_init=1e-2, **kw)
     params, out = _render_field(field)
