@@ -6,87 +6,83 @@ at 64x64 + Stable-Diffusion guidance with an SD-v1.5-sized UNet/VAE (random
 weights unless --sd_weights; identical FLOPs/memory to the real model).
 Reference baseline: 10k steps in ~3 h on V100 (readme.md:20) = 0.926 it/s.
 
-Timing notes (see NOTES.md): this TPU is reached through a tunnel where
-block_until_ready does not reliably wait, so each step is synced by pulling
-a scalar metric to host (~28 ms tunnel latency per pull, subtracted via the
-measured floor).
+Drives the REAL product path (Trainer.train), so occupancy-grid refreshes
+(full + partial phases) and the adaptive sample budget are included in the
+measurement. Secondary metrics ride along in the same JSON object:
+eval rays/sec at 512^2 and the 800^2 full-frame FPS (readme.md:21: ~10 FPS
+on V100).
 """
 
 import argparse
 import json
+import shutil
 import time
 
 import jax
 import jax.numpy as jnp
 
 REFERENCE_ITERS_PER_SEC = 10000 / (3 * 3600)  # readme.md:20
+REFERENCE_EVAL_FPS = 10.0                     # readme.md:21, 800x800
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sd_weights", default="random-full")
-    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--skip_eval", action="store_true")
     args, _ = ap.parse_known_args()
 
     from dreamfusion_tpu.config import Config
-    from dreamfusion_tpu.guidance import build_guidance
-    from dreamfusion_tpu.models import build_model
-    from dreamfusion_tpu.ops.marching import (init_grid_state,
-                                              make_update_extra_state)
-    from dreamfusion_tpu.training.optimizers import build_optimizer
-    from dreamfusion_tpu.training.trainer import TrainState, make_train_step
+    from dreamfusion_tpu.training.trainer import Trainer
 
+    ws = "/tmp/bench_ws"
+    shutil.rmtree(ws, ignore_errors=True)
     cfg = Config(text="a DSLR photo of a hamburger",
                  guidance="stable-diffusion", sd_weights=args.sd_weights,
                  backbone="grid", grid_ray=True, h=64, w=64, iters=10000,
                  dir_text=True, fp16=True, max_steps=512, grid_K=128,
-                 lambda_orient=0.0).finalize()
-    model = build_model(cfg)
-    guidance = build_guidance(cfg)
-    key = jax.random.PRNGKey(0)
-    params = model.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)) / 3 ** 0.5,
-                        method=model.init_all)
-    tx = build_optimizer(cfg, params)
-    state = TrainState(step=jnp.int32(0), params=params,
-                       opt_state=tx.init(params), key=key)
-    gs = init_grid_state(cfg.cascade, cfg.grid_size, cfg.density_thresh)
-    upd = make_update_extra_state(cfg, model)
-    gs = upd(params, gs, key)
-    step_fn = make_train_step(cfg, model, guidance, tx, renderer="grid")
-    text_z = jnp.zeros((6,) + guidance.get_text_embeds(["x"], ["y"]).shape[1:])
+                 lambda_orient=0.0, workspace=ws).finalize()
+    trainer = Trainer("bench", cfg, use_checkpoint="scratch")
 
-    # warmup/compile
-    state, metrics = step_fn(state, guidance.params, text_z, None, gs)
-    _ = float(metrics["loss"])
+    # warmup: compiles the step (default K), grid refresh, adaptive-K switch
+    trainer.train(max_steps=args.warmup, log_interval=10 ** 9,
+                  checkpoint_at_end=False)
+    _sync(trainer)
 
-    # measure the D2H sync floor (after warmup; lane-aligned array — tiny
-    # 1-D transfers have tripped backend errors on this tunnel)
-    trivial = jax.jit(lambda x: jnp.sum(x))
-    _ = float(trivial(jnp.ones((8, 128))))
     t0 = time.perf_counter()
-    for _ in range(5):
-        _ = float(trivial(jnp.ones((8, 128))))
-    d2h_floor = (time.perf_counter() - t0) / 5
-
-    times = []
-    for i in range(args.steps):
-        if i % cfg.update_extra_interval == 0:
-            gs = upd(state.params, gs, jax.random.fold_in(key, i))
-        t0 = time.perf_counter()
-        state, metrics = step_fn(state, guidance.params, text_z, None, gs)
-        _ = float(metrics["loss"])  # forced sync
-        times.append(time.perf_counter() - t0)
-
-    times.sort()
-    dt = max(times[len(times) // 2] - d2h_floor, 1e-6)  # median minus sync floor
+    trainer.train(max_steps=args.warmup + args.steps, log_interval=10 ** 9,
+                  checkpoint_at_end=False)
+    _sync(trainer)
+    dt = (time.perf_counter() - t0) / args.steps
     it_per_sec = 1.0 / dt
 
-    print(json.dumps({
+    result = {
         "metric": "sds_iters_per_sec",
         "value": round(it_per_sec, 3),
         "unit": "it/s",
         "vs_baseline": round(it_per_sec / REFERENCE_ITERS_PER_SEC, 3),
-    }))
+    }
+
+    if not args.skip_eval:
+        # eval path: rays/sec at 512^2 and full-frame 800^2 FPS
+        for H, tag in ((512, "eval_rays_per_sec_512"), (800, "eval_fps_800")):
+            out = trainer._render_orbit_frame(0, 100, H, H)
+            _ = float(jnp.sum(out["image"]))          # compile + settle
+            t0 = time.perf_counter()
+            out = trainer._render_orbit_frame(1, 100, H, H)
+            _ = float(jnp.sum(out["image"]))
+            ft = time.perf_counter() - t0
+            result[tag] = round(H * H / ft if "rays" in tag else 1.0 / ft, 3)
+        result["eval_fps_800_vs_baseline"] = round(
+            result["eval_fps_800"] / REFERENCE_EVAL_FPS, 3)
+
+    print(json.dumps(result))
+
+
+def _sync(trainer):
+    leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    _ = float(jnp.sum(leaf))  # forces the dispatched chain (tunnel-safe)
 
 
 if __name__ == "__main__":

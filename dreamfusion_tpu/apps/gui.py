@@ -75,11 +75,16 @@ class NeRFGUICore:
                                fovy=getattr(cfg, "fovy", 60.0))
         self.train_steps = 16
         self.downscale = 1.0
+        self.dynamic_resolution = True
         self.spp = 1
         self.need_update = True
         self.render_buffer: Optional[np.ndarray] = None
         self.mode = "image"       # or 'depth'
-        self.bg_color = None
+        self.bg_color = None      # [3] in [0,1] (effective when bg_radius<=0)
+        self.shading = "albedo"   # albedo | lambertian | textureless | normal
+        self.ambient_ratio = 1.0
+        self.light_dir = [60.0, 0.0]   # (theta, phi) degrees (gui.py:72-77)
+        self.training = False
         self.step = 0
         self.train_budget_ms = train_budget_ms
         self.infer_budget_ms = infer_budget_ms
@@ -126,17 +131,36 @@ class NeRFGUICore:
         args = (self.trainer.state.params, rays.origins[0], rays.directions[0])
         if self.trainer.renderer == "grid":
             args = args + (self.trainer.grid_state,)
-        out = render(*args)
+        from dreamfusion_tpu.models.networks import (SHADING_ALBEDO,
+                                                     SHADING_LAMBERTIAN,
+                                                     SHADING_NORMAL,
+                                                     SHADING_TEXTURELESS)
+
+        code = {"albedo": SHADING_ALBEDO, "lambertian": SHADING_LAMBERTIAN,
+                "textureless": SHADING_TEXTURELESS,
+                "normal": SHADING_NORMAL}[self.shading]
+        th, ph = np.deg2rad(self.light_dir[0]), np.deg2rad(self.light_dir[1])
+        light_d = jnp.asarray([np.sin(th) * np.sin(ph), np.cos(th),
+                               np.sin(th) * np.cos(ph)], jnp.float32)
+        kw = dict(shading_code=code, ambient_ratio=self.ambient_ratio,
+                  light_d=light_d)
+        if self.bg_color is not None:
+            kw["bg_color"] = jnp.asarray(self.bg_color, jnp.float32)
+        if self.trainer.mesh is not None:
+            kw = {}              # sharded eval keeps default shading
+        out = render(*args, **kw)
         buf = np.asarray(out["image"] if self.mode == "image"
                          else np.repeat(out["depth"][..., None], 3, -1))
         jax.block_until_ready(out["image"])
         t = (time.perf_counter() - t0) * 1000.0
 
         # dynamic resolution: target <=200 ms/frame at full res
-        full_t = t / (self.downscale ** 2)
-        ds = min(1.0, max(0.25, math.sqrt(self.infer_budget_ms / max(full_t, 1e-3))))
-        if ds > self.downscale * 1.2 or ds < self.downscale * 0.8:
-            self.downscale = ds
+        if self.dynamic_resolution:
+            full_t = t / (self.downscale ** 2)
+            ds = min(1.0, max(0.25,
+                              math.sqrt(self.infer_budget_ms / max(full_t, 1e-3))))
+            if ds > self.downscale * 1.2 or ds < self.downscale * 0.8:
+                self.downscale = ds
 
         if self.need_update:
             self.render_buffer = buf
@@ -149,16 +173,249 @@ class NeRFGUICore:
 
 
 class NeRFGUI(NeRFGUICore):
-    """dearpygui window on top of the core (reference: gui.py:155-468)."""
+    """dearpygui window on top of the headless core (reference:
+    nerf/gui.py:155-468). The dpg module is injectable so the widget tree
+    and all callbacks are testable without a display (tests drive a fake
+    dpg); `render()` imports the real dearpygui when available."""
 
-    def render(self):
+    def _import_dpg(self):
         try:
-            import dearpygui.dearpygui as dpg  # noqa: F401
+            import dearpygui.dearpygui as dpg
         except ImportError as e:
             raise ImportError(
                 "NeRFGUI needs dearpygui (pip install dearpygui); the "
                 "headless core (NeRFGUICore.train_step/test_step) works "
                 "without it") from e
-        # full dpg widget tree mirroring gui.py:155-468 would mount here
-        raise NotImplementedError(
-            "dearpygui window not yet wired; use NeRFGUICore or gradio_app")
+        return dpg
+
+    def register_dpg(self, dpg):
+        """Build the widget tree (gui.py:155-468): render texture window,
+        control window (train/reset/checkpoint/mesh buttons; dynamic-res,
+        mode, bg, fovy, dt_gamma, max_steps, ambient, shading, light-dir
+        controls), and the orbit/scale/pan mouse handlers."""
+        cfg = self.cfg
+        W, H = self.cam.W, self.cam.H
+        self.render_buffer = np.zeros((H, W, 3), np.float32)
+
+        with dpg.texture_registry(show=False):
+            dpg.add_raw_texture(W, H, self.render_buffer,
+                                format=dpg.mvFormat_Float_rgb, tag="_texture")
+
+        with dpg.window(tag="_primary_window", width=W, height=H):
+            dpg.add_image("_texture")
+        dpg.set_primary_window("_primary_window", True)
+
+        with dpg.window(label="Control", tag="_control_window",
+                        width=400, height=300):
+            if cfg.text is not None:
+                dpg.add_text("text: " + cfg.text, tag="_log_prompt_text")
+            if cfg.negative:
+                dpg.add_text("negative text: " + cfg.negative,
+                             tag="_log_prompt_negative_text")
+
+            with dpg.group(horizontal=True):
+                dpg.add_text("Train time: ")
+                dpg.add_text("no data", tag="_log_train_time")
+            with dpg.group(horizontal=True):
+                dpg.add_text("Infer time: ")
+                dpg.add_text("no data", tag="_log_infer_time")
+            with dpg.group(horizontal=True):
+                dpg.add_text("SPP: ")
+                dpg.add_text("1", tag="_log_spp")
+
+            with dpg.collapsing_header(label="Train", default_open=True):
+                with dpg.group(horizontal=True):
+                    dpg.add_text("Train: ")
+
+                    def callback_train(sender, app_data):
+                        self.training = not self.training
+                        dpg.configure_item(
+                            "_button_train",
+                            label="stop" if self.training else "start")
+
+                    dpg.add_button(label="start", tag="_button_train",
+                                   callback=callback_train)
+
+                with dpg.group(horizontal=True):
+                    dpg.add_text("Checkpoint: ")
+
+                    def callback_save(sender, app_data):
+                        import os
+
+                        path = self.trainer.save_checkpoint()
+                        dpg.set_value("_log_ckpt",
+                                      "saved " + os.path.basename(path))
+
+                    dpg.add_button(label="save", tag="_button_save",
+                                   callback=callback_save)
+                    dpg.add_text("", tag="_log_ckpt")
+
+                with dpg.group(horizontal=True):
+                    dpg.add_text("Marching Cubes: ")
+
+                    def callback_mesh(sender, app_data):
+                        self.trainer.save_mesh(resolution=256)
+                        dpg.set_value("_log_mesh", "saved mesh")
+
+                    dpg.add_button(label="mesh", tag="_button_mesh",
+                                   callback=callback_mesh)
+                    dpg.add_text("", tag="_log_mesh")
+
+            with dpg.collapsing_header(label="Options", default_open=True):
+                def callback_set_dynamic_resolution(sender, app_data):
+                    self.dynamic_resolution = not self.dynamic_resolution
+                    if not self.dynamic_resolution:
+                        self.downscale = 1.0
+                    self.need_update = True
+
+                with dpg.group(horizontal=True):
+                    dpg.add_checkbox(label="dynamic resolution",
+                                     default_value=self.dynamic_resolution,
+                                     callback=callback_set_dynamic_resolution)
+                    dpg.add_text(f"{W}x{H}", tag="_log_resolution")
+
+                def callback_change_mode(sender, app_data):
+                    self.mode = app_data
+                    self.need_update = True
+
+                dpg.add_combo(("image", "depth"), label="mode",
+                              default_value=self.mode,
+                              callback=callback_change_mode)
+
+                def callback_change_bg(sender, app_data):
+                    self.bg_color = np.asarray(app_data[:3], np.float32)
+                    self.need_update = True
+
+                dpg.add_color_edit((255, 255, 255), label="Background Color",
+                                   width=200, tag="_color_editor",
+                                   no_alpha=True, callback=callback_change_bg)
+
+                def callback_set_fovy(sender, app_data):
+                    self.cam.fovy = app_data
+                    self.need_update = True
+
+                dpg.add_slider_int(label="FoV (vertical)", min_value=1,
+                                   max_value=120, format="%d deg",
+                                   default_value=int(self.cam.fovy),
+                                   callback=callback_set_fovy)
+
+                def callback_set_dt_gamma(sender, app_data):
+                    # cfg is frozen; rebuild it and drop the compiled
+                    # renderers (recompiles on next frame, like the ref's
+                    # opt mutation would re-trace nothing but costs a step)
+                    self.cfg = self.cfg.replace(dt_gamma=app_data)
+                    self.trainer.cfg = self.cfg
+                    self.trainer._eval_render = None
+                    self.need_update = True
+
+                dpg.add_slider_float(label="dt_gamma", min_value=0,
+                                     max_value=0.1, format="%.5f",
+                                     default_value=cfg.dt_gamma,
+                                     callback=callback_set_dt_gamma)
+
+                def callback_set_max_steps(sender, app_data):
+                    self.cfg = self.cfg.replace(max_steps=int(app_data))
+                    self.trainer.cfg = self.cfg
+                    self.trainer._eval_render = None
+                    self.need_update = True
+
+                dpg.add_slider_int(label="max steps", min_value=1,
+                                   max_value=1024, format="%d",
+                                   default_value=cfg.max_steps,
+                                   callback=callback_set_max_steps)
+
+                def callback_set_light_dir(sender, app_data, user_data):
+                    self.light_dir[user_data] = app_data
+                    self.need_update = True
+
+                dpg.add_separator()
+                dpg.add_text("Plane Light Direction:")
+                with dpg.group(horizontal=True):
+                    dpg.add_slider_float(
+                        label="theta", min_value=0, max_value=180,
+                        format="%.2f", default_value=self.light_dir[0],
+                        callback=callback_set_light_dir, user_data=0)
+                with dpg.group(horizontal=True):
+                    dpg.add_slider_float(
+                        label="phi", min_value=0, max_value=360,
+                        format="%.2f", default_value=self.light_dir[1],
+                        callback=callback_set_light_dir, user_data=1)
+
+                def callback_set_abm_ratio(sender, app_data):
+                    self.ambient_ratio = app_data
+                    self.need_update = True
+
+                dpg.add_slider_float(label="ambient", min_value=0,
+                                     max_value=1.0, format="%.5f",
+                                     default_value=self.ambient_ratio,
+                                     callback=callback_set_abm_ratio)
+
+                def callback_change_shading(sender, app_data):
+                    self.shading = app_data
+                    self.need_update = True
+
+                dpg.add_combo(("albedo", "lambertian", "textureless",
+                               "normal"), label="shading",
+                              default_value=self.shading,
+                              callback=callback_change_shading)
+
+        def callback_camera_drag_rotate(sender, app_data):
+            if not dpg.is_item_focused("_primary_window"):
+                return
+            self.cam.orbit(app_data[1], app_data[2])
+            self.need_update = True
+
+        def callback_camera_wheel_scale(sender, app_data):
+            if not dpg.is_item_focused("_primary_window"):
+                return
+            self.cam.scale(app_data)
+            self.need_update = True
+
+        def callback_camera_drag_pan(sender, app_data):
+            if not dpg.is_item_focused("_primary_window"):
+                return
+            self.cam.pan(app_data[1], app_data[2])
+            self.need_update = True
+
+        with dpg.handler_registry():
+            dpg.add_mouse_drag_handler(button=dpg.mvMouseButton_Left,
+                                       callback=callback_camera_drag_rotate)
+            dpg.add_mouse_wheel_handler(callback=callback_camera_wheel_scale)
+            dpg.add_mouse_drag_handler(button=dpg.mvMouseButton_Middle,
+                                       callback=callback_camera_drag_pan)
+
+        dpg.create_viewport(title="dreamfusion-tpu", width=W, height=H,
+                            resizable=False)
+        dpg.setup_dearpygui()
+        dpg.show_viewport()
+
+    def render_frame_once(self, dpg):
+        """One main-loop iteration (gui.py:461-468), separated so tests can
+        drive it with a fake dpg."""
+        if self.training:
+            stats = self.train_step()
+            dpg.set_value("_log_train_time", f"{stats['time_ms']:.1f} ms "
+                                             f"({stats['train_steps']} steps)")
+        stats = self.test_step()
+        if not stats.get("skipped"):
+            dpg.set_value("_log_infer_time", f"{stats['time_ms']:.1f} ms")
+            dpg.set_value("_log_spp", str(self.spp))
+            dpg.set_value("_log_resolution",
+                          f"{stats['resolution'][1]}x{stats['resolution'][0]}")
+            buf = self.render_buffer
+            if buf.shape[:2] != (self.cam.H, self.cam.W):
+                import jax.image  # resize preview up to the texture size
+
+                buf = np.asarray(jax.image.resize(
+                    jnp.asarray(buf), (self.cam.H, self.cam.W, 3),
+                    "nearest"))
+            dpg.set_value("_texture", buf.astype(np.float32))
+
+    def render(self, dpg=None):
+        dpg = dpg or self._import_dpg()
+        dpg.create_context()
+        self.register_dpg(dpg)
+        while dpg.is_dearpygui_running():
+            self.render_frame_once(dpg)
+            dpg.render_dearpygui_frame()
+        dpg.destroy_context()

@@ -42,7 +42,10 @@ class Config:
     max_ray_batch: int = 4096           # inference ray chunk ("staged" rendering)
     albedo_iters: int = 1000            # albedo-only shading warmup
     uniform_sphere_rate: float = 0.5
-    grid_K: int = 128                   # compacted samples/ray kept for the field
+    grid_K: int = 128
+    # adapt the per-ray sample budget to occupancy (bucketed K <= grid_K,
+    # the mean_count-budget analog of raymarching.py:200-231)
+    grid_K_adaptive: bool = True                   # compacted samples/ray kept for the field
                                         # query in the grid_ray train path (TPU
                                         # static-shape analog of mean_count)
     grid_size: int = 128                # occupancy grid resolution per cascade
@@ -162,6 +165,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--albedo_iters", type=int, default=defaults.albedo_iters)
     p.add_argument("--uniform_sphere_rate", type=float, default=defaults.uniform_sphere_rate)
     p.add_argument("--grid_K", type=int, default=defaults.grid_K)
+    p.add_argument("--no_grid_K_adaptive", dest="grid_K_adaptive",
+                   action="store_false", default=defaults.grid_K_adaptive)
     p.add_argument("--grid_size", type=int, default=defaults.grid_size)
     p.add_argument("--grid_decay", type=float, default=defaults.grid_decay)
     p.add_argument("--test_size", type=int, default=defaults.test_size)

@@ -106,18 +106,34 @@ def init_grid_state(cascade: int, grid_size: int,
 
 def update_grid(density_fn, state: GridState, key: jax.Array, *,
                 bound: float, density_thresh: float, decay: float = 0.95,
-                chunk: Optional[int] = None) -> GridState:
+                chunk: Optional[int] = None,
+                partial: Optional[Tuple[int, int]] = None) -> GridState:
     """One occupancy-grid refresh (reference: nerf/renderer.py:562-613).
 
     Queries sigma at a jittered center of every cell of every cascade,
     EMA-decays the stored grid, and re-thresholds occupancy at
     min(mean_density, density_thresh). Fully on-device; jit-safe.
+
+    partial=(phase, parts): refresh only the cells whose flat index is
+    congruent to phase mod parts; the rest just decay (mainline torch-ngp's
+    warmed-up partial update, made deterministic/static-shaped — full
+    coverage every `parts` refreshes). The field query is the expensive
+    part (hash-encode at H^3 points), so parts=4 cuts refresh cost 4x.
     """
     CAS, H = state.density_grid.shape[0], state.density_grid.shape[1]
     # cell coordinates: xyzs = 2*coords/(H-1) - 1 (renderer.py:584)
     lin = 2.0 * jnp.arange(H, dtype=jnp.float32) / (H - 1) - 1.0
     X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
     xyzs = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)  # [H^3, 3] in [-1,1]
+
+    sel = None
+    if partial is not None:
+        phase, parts = partial
+        n_cells = H * H * H
+        n_sel = n_cells // parts                          # static length
+        sel = (phase % parts) + parts * jnp.arange(n_sel)
+        sel = jnp.minimum(sel, n_cells - 1)
+        xyzs = jnp.take(xyzs, sel, axis=0)               # [H^3/parts, 3]
 
     new_levels = []
     for cas in range(CAS):
@@ -132,6 +148,9 @@ def update_grid(density_fn, state: GridState, key: jax.Array, *,
                 pts.reshape(-1, chunk, 3)).reshape(-1)
         else:
             sig = density_fn(pts)["sigma"]
+        if sel is not None:
+            full = jnp.full((H * H * H,), -1.0)          # -1 = not queried,
+            sig = full.at[sel].set(sig)                  # decays like the ref
         new_levels.append(sig.reshape(H, H, H))
     new_sigmas = jnp.stack(new_levels)
     grid = jnp.maximum(state.density_grid * decay, new_sigmas)
@@ -141,18 +160,35 @@ def update_grid(density_fn, state: GridState, key: jax.Array, *,
 
 
 def make_update_extra_state(cfg, model):
-    """Bind (cfg, model) -> jitted update fn(params, grid_state, key)."""
+    """Bind (cfg, model) -> jitted update fn(params, grid_state, key,
+    refresh_idx=0).
+
+    refresh_idx selects the update mode: the first 16 refreshes are full
+    (the reference always refreshes fully, renderer.py:562-613, but its
+    CUDA hash gathers are cheap); afterwards each refresh covers one of 4
+    disjoint quarter-lattices (mainline torch-ngp's warmed-up partial
+    update) — measured 1.65 s -> ~0.4 s per refresh on v5e, with full
+    coverage every 4 refreshes under the same 0.95 EMA decay.
+    """
+    import functools
+
     from dreamfusion_tpu.models.networks import make_field_fns
 
-    @jax.jit
-    def update(params, grid_state, key):
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def _update(params, grid_state, key, partial):
         fns = make_field_fns(model, params, bg=False)
         # NOTE: unchunked — a lax.map-chunked version compiles ~15x slower
         # on TPU (195s vs 14s measured) for identical steady-state speed;
         # the full 128^3 query peaks ~100MB of intermediates, well in HBM.
         return update_grid(fns.density, grid_state, key, bound=cfg.bound,
                            density_thresh=cfg.density_thresh,
-                           decay=cfg.grid_decay, chunk=None)
+                           decay=cfg.grid_decay, chunk=None, partial=partial)
+
+    def update(params, grid_state, key, refresh_idx: int = 0):
+        # 5 cached compilations total: full + 4 quarter phases
+        partial = None if refresh_idx < 16 else (refresh_idx % 4, 4)
+        return _update(params, grid_state, key, partial)
+
     return update
 
 
@@ -402,5 +438,8 @@ def render_grid(
         "weights_sum": out.weights_sum,
         "mask": nears < fars,
         "mean_count": jnp.mean(march.counts.astype(jnp.float32)),
+        # 95th-percentile marching count: drives the Trainer's adaptive
+        # sample budget (the mean_count budget analog, raymarching.py:200)
+        "count_q95": jnp.percentile(march.counts.astype(jnp.float32), 95.0),
     })
     return results

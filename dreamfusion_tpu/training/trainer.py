@@ -61,13 +61,19 @@ def _shading_schedule(key: jax.Array, step: jax.Array, albedo_iters: int):
 
 
 def make_grads_fn(cfg: Config, model: _BaseNeRF, guidance: Guidance,
-                  renderer: str = "stratified"):
+                  renderer: str = "stratified", grid_K: Optional[int] = None):
     """Build grads_fn(params, step, gparams, text_z, key, grid_state) ->
     (loss, metrics, grads): camera sampling + shading schedule + render +
     guidance + regularizers + value_and_grad, with no optimizer coupling so
-    it can be wrapped by parallel.data_parallel_grads."""
+    it can be wrapped by parallel.data_parallel_grads.
+
+    grid_K overrides cfg.grid_K (the adaptive sample-budget path: the
+    reference scales per-step compute with occupancy via its mean_count
+    budget, raymarching.py:200-231; here the Trainer picks a bucketed K
+    from marching-count stats at each grid refresh)."""
     compute_orient = cfg.lambda_orient > 0
     compute_smooth = cfg.lambda_smooth > 0
+    grid_K = grid_K or cfg.grid_K
 
     def grads_fn(params_in, step, gparams, text_z, key, grid_state):
         k_batch, k_shade, k_bg, k_render, k_guid = jax.random.split(key, 5)
@@ -91,7 +97,7 @@ def make_grads_fn(cfg: Config, model: _BaseNeRF, guidance: Guidance,
                 out = render_grid(
                     k_render, fns, grid_state, rays_o, rays_d,
                     bound=cfg.bound, min_near=cfg.min_near,
-                    max_steps=cfg.max_steps, K=cfg.grid_K,
+                    max_steps=cfg.max_steps, K=grid_K,
                     dt_gamma=cfg.dt_gamma, bg_radius=cfg.bg_radius,
                     ambient_ratio=ratio, shading_code=code,
                     bg_color=bg_color, perturb=True,
@@ -133,6 +139,8 @@ def make_grads_fn(cfg: Config, model: _BaseNeRF, guidance: Guidance,
                 metrics["loss_smooth"] = out["loss_smooth"]
             metrics["mean_opacity"] = jnp.mean(pred_ws)
             metrics["shading_code"] = code
+            if "count_q95" in out:
+                metrics["count_q95"] = out["count_q95"]
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_in)
@@ -142,7 +150,8 @@ def make_grads_fn(cfg: Config, model: _BaseNeRF, guidance: Guidance,
 
 
 def make_train_step(cfg: Config, model: _BaseNeRF, guidance: Guidance,
-                    tx, renderer: str = "stratified", mesh=None):
+                    tx, renderer: str = "stratified", mesh=None,
+                    grid_K: Optional[int] = None):
     """Build the jitted train step.
 
     step(state, guidance_params, text_z, key, grid_state=None)
@@ -150,8 +159,9 @@ def make_train_step(cfg: Config, model: _BaseNeRF, guidance: Guidance,
 
     With a mesh, grads are computed data-parallel over the 'data' axis
     (per-device camera batches, pmean'd grads) — the DDP analog (§2.4).
+    grid_K: see make_grads_fn (adaptive sample budget).
     """
-    grads_fn = make_grads_fn(cfg, model, guidance, renderer)
+    grads_fn = make_grads_fn(cfg, model, guidance, renderer, grid_K=grid_K)
     if mesh is not None:
         from dreamfusion_tpu.parallel.sharding import data_parallel_grads
 
@@ -194,12 +204,18 @@ def make_eval_render(cfg: Config, model: _BaseNeRF, H: int, W: int,
     the reference's eval all_gather, nerf/utils.py:787-797) and chunking
     bounds per-device memory."""
 
-    def ray_fn(params, rays_o, rays_d, grid_state=None):
+    def ray_fn(params, rays_o, rays_d, grid_state=None,
+               shading_code=SHADING_ALBEDO, ambient_ratio=1.0, light_d=None,
+               bg_color=None):
         fns = make_field_fns(model, params)._replace(normal=None)
-        light_d = cameras.safe_normalize(rays_o[0])
+        if light_d is None:
+            light_d = cameras.safe_normalize(rays_o[0])
         key = jax.random.PRNGKey(0)
 
         def rf(o, d):
+            bg = None
+            if bg_color is not None:
+                bg = jnp.broadcast_to(bg_color, (o.shape[0], 3))
             if renderer == "grid":
                 from dreamfusion_tpu.ops.marching import render_grid
 
@@ -208,13 +224,14 @@ def make_eval_render(cfg: Config, model: _BaseNeRF, H: int, W: int,
                     min_near=cfg.min_near, max_steps=cfg.max_steps,
                     K=cfg.grid_K, dt_gamma=cfg.dt_gamma,
                     bg_radius=cfg.bg_radius, light_d=light_d,
-                    ambient_ratio=1.0, shading_code=SHADING_ALBEDO,
-                    perturb=False)
+                    ambient_ratio=ambient_ratio, shading_code=shading_code,
+                    bg_color=bg, perturb=False)
             return render_stratified(
                 key, fns, o, d, bound=cfg.bound, min_near=cfg.min_near,
                 num_steps=cfg.num_steps, upsample_steps=cfg.upsample_steps,
-                bg_radius=cfg.bg_radius, light_d=light_d, ambient_ratio=1.0,
-                shading_code=SHADING_ALBEDO, perturb=False)
+                bg_radius=cfg.bg_radius, light_d=light_d,
+                ambient_ratio=ambient_ratio, shading_code=shading_code,
+                bg_color=bg, perturb=False)
 
         out = render_rays_chunked(rf, rays_o, rays_d, chunk=chunk)
         return {"image": out["image"], "depth": out["depth"],
@@ -226,8 +243,19 @@ def make_eval_render(cfg: Config, model: _BaseNeRF, H: int, W: int,
 
         fn = shard_rays_render(ray_fn, mesh)
 
-    def render_frame(params, rays_o, rays_d, grid_state=None):
-        out = fn(params, rays_o, rays_d, grid_state)
+    def render_frame(params, rays_o, rays_d, grid_state=None,
+                     shading_code=SHADING_ALBEDO, ambient_ratio=1.0,
+                     bg_color=None, light_d=None):
+        """shading_code / ambient_ratio / light_d / bg_color are traced
+        operands (GUI sliders don't recompile). bg_color [3] is the GUI bg
+        picker — like the reference it only takes effect when the model has
+        no bg net (bg_radius <= 0, renderer.py:535-544)."""
+        if mesh is not None:     # sharded path keeps default shading
+            out = fn(params, rays_o, rays_d, grid_state)
+        else:
+            out = fn(params, rays_o, rays_d, grid_state,
+                     shading_code=shading_code, ambient_ratio=ambient_ratio,
+                     light_d=light_d, bg_color=bg_color)
         return {"image": out["image"].reshape(H, W, 3),
                 "depth": out["depth"].reshape(H, W),
                 "weights_sum": out["weights_sum"].reshape(H, W)}
@@ -306,9 +334,8 @@ class Trainer:
 
             self.mesh = make_mesh(n_dev)
 
-        self._train_step = make_train_step(cfg, self.model, self.guidance,
-                                           self.tx, renderer=self.renderer,
-                                           mesh=self.mesh)
+        self._step_cache = {}
+        self._train_step = self._get_train_step(None)
         self._eval_render = None
         self.stats = {"valid_loss": [], "best_result": None}
 
@@ -347,7 +374,27 @@ class Trainer:
 
     # -- training ----------------------------------------------------------------
 
-    def train(self, max_steps: Optional[int] = None, log_interval: int = 50):
+    def _pick_grid_K(self, q95: float) -> int:
+        """Smallest bucket >= the 95th-percentile marching count — the
+        TPU analog of the reference's mean_count sample budget
+        (raymarching.py:200-231): compute scales with occupancy instead of
+        always paying the max_steps cap. Bucketing keeps shapes static
+        (one cached compilation per bucket)."""
+        for b in (16, 32, 48, 64, 96, 128, 192, 256):
+            if b >= min(q95, self.cfg.grid_K):
+                return min(b, self.cfg.grid_K)
+        return self.cfg.grid_K
+
+    def _get_train_step(self, grid_K: Optional[int]):
+        key = grid_K or self.cfg.grid_K
+        if key not in self._step_cache:
+            self._step_cache[key] = make_train_step(
+                self.cfg, self.model, self.guidance, self.tx,
+                renderer=self.renderer, mesh=self.mesh, grid_K=grid_K)
+        return self._step_cache[key]
+
+    def train(self, max_steps: Optional[int] = None, log_interval: int = 50,
+              checkpoint_at_end: bool = True):
         cfg = self.cfg
         max_steps = max_steps or cfg.iters
         t0 = time.time()
@@ -358,10 +405,17 @@ class Trainer:
             update_grid = make_update_extra_state(cfg, self.model)
 
         step = int(self.state.step)   # the ONLY D2H sync outside log points
+        metrics = None
         while step < max_steps:
             if update_grid is not None and step % cfg.update_extra_interval == 0:
                 self._key, kg = jax.random.split(self._key)
-                self.grid_state = update_grid(self.state.params, self.grid_state, kg)
+                self.grid_state = update_grid(
+                    self.state.params, self.grid_state, kg,
+                    step // cfg.update_extra_interval)
+                if (cfg.grid_K_adaptive and metrics is not None
+                        and "count_q95" in metrics):
+                    live_K = self._pick_grid_K(float(metrics["count_q95"]))
+                    self._train_step = self._get_train_step(live_K)
             self.state, metrics = self._train_step(
                 self.state, self.guidance.params, self.text_z, None,
                 *((self.grid_state,) if self.renderer == "grid" else ()))
@@ -374,7 +428,8 @@ class Trainer:
             if step % (cfg.eval_interval * cfg.dataset_size) == 0:
                 self.evaluate(step=step)
                 self.save_checkpoint()
-        self.save_checkpoint()
+        if checkpoint_at_end:
+            self.save_checkpoint()
         return self.state
 
     # -- evaluation / test ----------------------------------------------------------
