@@ -81,6 +81,11 @@ class LocalBackend:
     def load_parameters() -> Dict[str, Any]:
         pfile = os.environ.get(_PARAM_ENV)
         if pfile and os.path.exists(pfile):
+            if pfile.endswith((".yaml", ".yml")):   # kube jobs ship yaml
+                import yaml
+
+                with open(pfile) as f:
+                    return yaml.safe_load(f).get("params", {})
             with open(pfile, "rb") as f:
                 return pickle.load(f)
         return {}
@@ -112,29 +117,68 @@ class LocalBackend:
 
 
 class KubernetesBackend(LocalBackend):
-    """Kubernetes job runner skeleton: yaml params, pod launch via kubectl,
-    log streaming, infra-error retry (reference: utils/kubernetes_backend.py +
-    kubernetes_runner.py). Requires kubectl + a cluster; degrades to an
-    actionable error otherwise."""
+    """Kubernetes job runner: per-job Deployment created via kubectl, code
+    copied in, command exec'd with log streaming + infra-error
+    classification (OOM / no-accelerator / CUDNN / TPU RESOURCE_EXHAUSTED),
+    teardown in finally, <=10 retries with backoff (reference:
+    utils/kubernetes_backend.py + kubernetes_runner.py:17-177). The heavy
+    lifting lives in utils/kube.py; kubectl binary, image, and namespace
+    come from env so tests can inject a scripted fake kubectl."""
 
     name = "kubernetes"
     max_retries = 10
     retry_sleep = 60.0
 
+    def __init__(self, root: Optional[str] = None):
+        super().__init__(root)
+        self.kubectl = os.environ.get("DFTPU_KUBECTL", "kubectl")
+        self.namespace = os.environ.get("DFTPU_KUBE_NAMESPACE", "default")
+        self.image = os.environ.get("DFTPU_KUBE_IMAGE",
+                                    "dreamfusion-tpu:latest")
+        self.num_accelerators = int(os.environ.get("DFTPU_KUBE_ACCELS", "1"))
+
     def submit(self, function_path: str, params: Dict[str, Any],
                blocking: bool = True) -> int:
-        if shutil.which("kubectl") is None:
+        from dreamfusion_tpu.utils import kube
+
+        if not kube.kubectl_available(self.kubectl):
             raise RuntimeError(
                 "kubernetes backend selected but kubectl is not available; "
                 "remove use_kubernets.backend or set LOCAL_BACKEND=1")
-        for attempt in range(self.max_retries):
-            rc = super().submit(function_path, params, blocking=True)
-            if rc == 0:
-                return 0
-            self.log(f"job failed (rc={rc}), retry {attempt + 1}/"
-                     f"{self.max_retries} in {self.retry_sleep}s")
-            time.sleep(self.retry_sleep)
-        return 1
+        job_dir = self._job_dir()
+        job_id = os.path.basename(job_dir).replace("_", "-").lower()
+        # job-side params ride in as a yaml file next to the code
+        # (reference: kube_job_parameters.yaml, kubernetes_runner.py:147-148)
+        import yaml
+
+        pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        with open(os.path.join(job_dir, "kube_job_parameters.yaml"),
+                  "w") as f:
+            yaml.safe_dump({"function_path": function_path,
+                            "params": {k: repr(v)
+                                       for k, v in params.items()}}, f)
+        mod, fn = function_path.split(":")
+        command = (f"python -c 'import {mod}; from dreamfusion_tpu.utils "
+                   f"import backend; {mod}.{fn}("
+                   f"backend.load_parameters())'")
+        manifest = kube.make_deployment_manifest(
+            job_id, image=self.image,
+            num_accelerators=self.num_accelerators,
+            namespace=self.namespace,
+            env={_PARAM_ENV: "/job/job_source/kube_job_parameters.yaml"})
+        runner = kube.KubeRunner(namespace=self.namespace,
+                                 kubectl=self.kubectl, backend=self)
+        try:
+            kube.submit_kube_job(job_id, manifest, runner=runner,
+                                 job_directory=pkg_root, command=command,
+                                 workdir=job_dir,
+                                 max_retries=self.max_retries,
+                                 retry_sleep=self.retry_sleep)
+            return 0
+        except RuntimeError as e:
+            self.log(str(e))
+            return 1
 
 
 class AtlasBackend(LocalBackend):
