@@ -49,6 +49,9 @@ class Config:
                                         # query in the grid_ray train path (TPU
                                         # static-shape analog of mean_count)
     grid_size: int = 128                # occupancy grid resolution per cascade
+    pallas_composite: bool = False      # fused Pallas compositing kernel in
+                                        # the grid renderer (vs jnp cumprod;
+                                        # flip after measuring on real TPU)
     grid_decay: float = 0.95            # occupancy EMA decay (renderer.py:563)
     # -- model ---------------------------------------------------------------
     backbone: str = "grid"              # 'grid' | 'vanilla' | 'dvgo'
@@ -168,6 +171,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no_grid_K_adaptive", dest="grid_K_adaptive",
                    action="store_false", default=defaults.grid_K_adaptive)
     p.add_argument("--grid_size", type=int, default=defaults.grid_size)
+    p.add_argument("--pallas_composite", action="store_true",
+                   default=defaults.pallas_composite)
     p.add_argument("--grid_decay", type=float, default=defaults.grid_decay)
     p.add_argument("--test_size", type=int, default=defaults.test_size)
     p.add_argument("--val_size", type=int, default=defaults.val_size)

@@ -39,7 +39,8 @@ import jax
 import jax.numpy as jnp
 
 from dreamfusion_tpu.cameras import safe_normalize
-from dreamfusion_tpu.ops.composite import composite, near_far_from_aabb
+from dreamfusion_tpu.ops.composite import (CompositeOut, composite,
+                                            near_far_from_aabb)
 
 SQRT3 = math.sqrt(3.0)
 
@@ -382,6 +383,7 @@ def render_grid(
     perturb: bool = False,
     T_thresh: float = 1e-4,
     compute_normal_losses: bool = False,
+    pallas_composite: bool = False,
 ) -> Dict[str, jax.Array]:
     N = rays_o.shape[0]
     aabb = jnp.array([-bound] * 3 + [bound] * 3, jnp.float32)
@@ -407,13 +409,31 @@ def render_grid(
     color = color.reshape(N, K, 3)
     dts = march.dts * march.valid
 
-    out = composite(sigma, color, dts, ts=march.ts, T_thresh=T_thresh)
+    if pallas_composite:
+        # fused VMEM compositor with analytic VJP (ops/pallas_composite.py);
+        # interpret mode keeps CPU tests running, compiled path on TPU.
+        from dreamfusion_tpu.ops.pallas_composite import composite_fused
+
+        interp = jax.default_backend() != "tpu"
+        fused = composite_fused(sigma, color, dts, march.ts, interp, T_thresh)
+        out = CompositeOut(weights=None, weights_sum=fused.weights_sum,
+                           depth=fused.depth, rgb=fused.rgb)
+    else:
+        out = composite(sigma, color, dts, ts=march.ts, T_thresh=T_thresh)
 
     results: Dict[str, jax.Array] = {}
     if compute_normal_losses:
         normal = normal.reshape(N, K, 3)
         # reference uses weights = 1-exp(-sigma) here (renderer.py:486-489,
         # "not very exact"); we use the true compositing weights.
+        if out.weights is None:
+            # the fused compositor doesn't emit per-sample weights; they are
+            # only consumed under stop_gradient, so recompute them cheaply.
+            alphas = 1.0 - jnp.exp(-jax.lax.stop_gradient(sigma) * dts)
+            trans = jnp.cumprod(
+                jnp.concatenate([jnp.ones((N, 1)), 1.0 - alphas + 1e-15], 1),
+                axis=1)[:, :-1]
+            out = out._replace(weights=alphas * trans)
         w_sg = jax.lax.stop_gradient(out.weights) * march.valid
         loss_orient = w_sg * jnp.clip(jnp.sum(normal * dirs, -1), 0.0, None) ** 2
         results["loss_orient"] = jnp.mean(jnp.sum(loss_orient, -1))

@@ -37,7 +37,8 @@ TILE_N = 256
 
 
 def _fwd_kernel(sig_ref, rgb_r_ref, rgb_g_ref, rgb_b_ref, dt_ref, t_ref,
-                ws_ref, depth_ref, r_ref, g_ref, b_ref, trans_ref):
+                ws_ref, depth_ref, r_ref, g_ref, b_ref, trans_ref,
+                *, T_thresh: float):
     sig = sig_ref[:]
     dt = dt_ref[:]
     alpha = 1.0 - jnp.exp(-sig * dt)                       # [TILE_N, K]
@@ -46,6 +47,10 @@ def _fwd_kernel(sig_ref, rgb_r_ref, rgb_g_ref, rgb_b_ref, dt_ref, t_ref,
     cums = jnp.cumsum(logs, axis=-1)
     trans = jnp.exp(cums - logs)                           # exclusive
     w = alpha * trans
+    if T_thresh > 0.0:
+        # transmittance early-stop as a mask (raymarching.cu:557; identical
+        # to ops.composite's T_thresh handling)
+        w = jnp.where(trans > T_thresh, w, 0.0)
     trans_ref[:] = trans
     ws_ref[:, 0] = jnp.sum(w, axis=-1)
     depth_ref[:, 0] = jnp.sum(w * t_ref[:], axis=-1)
@@ -56,13 +61,20 @@ def _fwd_kernel(sig_ref, rgb_r_ref, rgb_g_ref, rgb_b_ref, dt_ref, t_ref,
 
 def _bwd_kernel(sig_ref, rgb_r_ref, rgb_g_ref, rgb_b_ref, dt_ref, t_ref,
                 trans_ref, gws_ref, gd_ref, gr_ref, gg_ref, gb_ref,
-                dsig_ref, dr_ref, dg_ref, db_ref):
+                dsig_ref, dr_ref, dg_ref, db_ref, *, T_thresh: float):
     sig = sig_ref[:]
     dt = dt_ref[:]
     trans = trans_ref[:]
     alpha = 1.0 - jnp.exp(-sig * dt)
     w = alpha * trans
     t_next = trans * (1.0 - alpha)                         # T_{i+1}
+    if T_thresh > 0.0:
+        # w_i = m_i a_i T_i with the mask m_i = [T_i > thresh] constant wrt
+        # sigma (a where-mask in the jnp compositor): the direct T_{i+1}
+        # term picks up m_i and the suffix sums run over the masked w.
+        m = (trans > T_thresh).astype(w.dtype)
+        w = w * m
+        t_next = t_next * m
 
     gws = gws_ref[:, 0:1]
     gd = gd_ref[:, 0:1]
@@ -95,15 +107,18 @@ class FusedOut(NamedTuple):
     rgb: jax.Array
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def composite_fused(sigmas, rgbs, deltas, ts, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def composite_fused(sigmas, rgbs, deltas, ts, interpret=False,
+                    T_thresh=0.0):
     """sigmas [N,K], rgbs [N,K,3], deltas [N,K], ts [N,K] ->
-    (weights_sum [N], depth [N], rgb [N,3])."""
-    out, _ = _composite_fused_fwd(sigmas, rgbs, deltas, ts, interpret)
+    (weights_sum [N], depth [N], rgb [N,3]). T_thresh>0 applies the
+    transmittance early-stop mask (identical to ops.composite)."""
+    out, _ = _composite_fused_fwd(sigmas, rgbs, deltas, ts, interpret,
+                                  T_thresh)
     return out
 
 
-def _run_fwd(sigmas, rgbs, deltas, ts, interpret):
+def _run_fwd(sigmas, rgbs, deltas, ts, interpret, T_thresh):
     N, K = sigmas.shape
     n_pad = (-N) % TILE_N
     k_pad = (-K) % 128
@@ -118,7 +133,7 @@ def _run_fwd(sigmas, rgbs, deltas, ts, interpret):
     row_spec = pl.BlockSpec((TILE_N, Kp), lambda i: (i, 0))
     col_spec = pl.BlockSpec((TILE_N, 1), lambda i: (i, 0))
     outs = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, T_thresh=T_thresh),
         grid=grid,
         in_specs=[row_spec] * 6,
         out_specs=[col_spec] * 5 + [row_spec],
@@ -132,16 +147,17 @@ def _run_fwd(sigmas, rgbs, deltas, ts, interpret):
     return out, trans
 
 
-def _composite_fused_fwd(sigmas, rgbs, deltas, ts, interpret):
+def _composite_fused_fwd(sigmas, rgbs, deltas, ts, interpret,
+                         T_thresh=0.0):
     sigmas = sigmas.astype(jnp.float32)
     rgbs = rgbs.astype(jnp.float32)
     deltas = deltas.astype(jnp.float32)
     ts = ts.astype(jnp.float32)
-    out, trans = _run_fwd(sigmas, rgbs, deltas, ts, interpret)
+    out, trans = _run_fwd(sigmas, rgbs, deltas, ts, interpret, T_thresh)
     return out, (sigmas, rgbs, deltas, ts, trans)
 
 
-def _composite_fused_bwd(interpret, res, g):
+def _composite_fused_bwd(interpret, T_thresh, res, g):
     sigmas, rgbs, deltas, ts, trans = res
     gws, gd, grgb = g
     N, K = sigmas.shape
@@ -165,7 +181,7 @@ def _composite_fused_bwd(interpret, res, g):
     row_spec = pl.BlockSpec((TILE_N, Kp), lambda i: (i, 0))
     col_spec = pl.BlockSpec((TILE_N, 1), lambda i: (i, 0))
     outs = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, T_thresh=T_thresh),
         grid=grid,
         in_specs=[row_spec] * 7 + [col_spec] * 5,
         out_specs=[row_spec] * 4,

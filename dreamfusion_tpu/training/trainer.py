@@ -101,6 +101,7 @@ def make_grads_fn(cfg: Config, model: _BaseNeRF, guidance: Guidance,
                     dt_gamma=cfg.dt_gamma, bg_radius=cfg.bg_radius,
                     ambient_ratio=ratio, shading_code=code,
                     bg_color=bg_color, perturb=True,
+                    pallas_composite=cfg.pallas_composite,
                     compute_normal_losses=compute_orient or compute_smooth)
             else:
                 out = render_stratified(
@@ -225,7 +226,8 @@ def make_eval_render(cfg: Config, model: _BaseNeRF, H: int, W: int,
                     K=cfg.grid_K, dt_gamma=cfg.dt_gamma,
                     bg_radius=cfg.bg_radius, light_d=light_d,
                     ambient_ratio=ambient_ratio, shading_code=shading_code,
-                    bg_color=bg, perturb=False)
+                    bg_color=bg, perturb=False,
+                    pallas_composite=cfg.pallas_composite)
             return render_stratified(
                 key, fns, o, d, bound=cfg.bound, min_near=cfg.min_near,
                 num_steps=cfg.num_steps, upsample_steps=cfg.upsample_steps,
