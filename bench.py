@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=20)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--skip_eval", action="store_true")
+    ap.add_argument("--profile", default=None,
+                    help="capture a jax.profiler trace of the measured "
+                         "steps into this dir")
     args, _ = ap.parse_known_args()
 
     from dreamfusion_tpu.config import Config
@@ -51,8 +54,12 @@ def main():
     _sync(trainer)
 
     t0 = time.perf_counter()
+    prof = {}
+    if args.profile:
+        prof = dict(profile_dir=args.profile,
+                    profile_window=(args.warmup + 2, args.warmup + 7))
     trainer.train(max_steps=args.warmup + args.steps, log_interval=10 ** 9,
-                  checkpoint_at_end=False)
+                  checkpoint_at_end=False, **prof)
     _sync(trainer)
     dt = (time.perf_counter() - t0) / args.steps
     it_per_sec = 1.0 / dt

@@ -23,7 +23,7 @@ import json
 import os
 import time
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
 import jax
@@ -396,7 +396,14 @@ class Trainer:
         return self._step_cache[key]
 
     def train(self, max_steps: Optional[int] = None, log_interval: int = 50,
-              checkpoint_at_end: bool = True):
+              checkpoint_at_end: bool = True,
+              profile_dir: Optional[str] = None,
+              profile_window: Tuple[int, int] = (0, 0)):
+        """profile_dir + profile_window=(start, stop): capture a
+        jax.profiler trace of steps [start, stop) into profile_dir
+        (tensorboard-viewable; the SURVEY §5 tracing subsystem — the
+        reference has only commented-out torch.cuda.synchronize probes,
+        nerf/sd.py:78-116)."""
         cfg = self.cfg
         max_steps = max_steps or cfg.iters
         t0 = time.time()
@@ -408,7 +415,18 @@ class Trainer:
 
         step = int(self.state.step)   # the ONLY D2H sync outside log points
         metrics = None
+        profiling = False
         while step < max_steps:
+            if profile_dir is not None:
+                if step == profile_window[0] and not profiling:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                elif step == profile_window[1] and profiling:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self.log({"profile_trace": profile_dir, "step": step})
             if update_grid is not None and step % cfg.update_extra_interval == 0:
                 self._key, kg = jax.random.split(self._key)
                 self.grid_state = update_grid(
@@ -430,6 +448,9 @@ class Trainer:
             if step % (cfg.eval_interval * cfg.dataset_size) == 0:
                 self.evaluate(step=step)
                 self.save_checkpoint()
+        if profiling:
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
         if checkpoint_at_end:
             self.save_checkpoint()
         return self.state
