@@ -19,6 +19,7 @@ import numpy as np
 from dreamfusion_tpu.guidance.sd.scheduler import (DiffusionSchedule,
                                                    PNDMState, ddim_step,
                                                    ddim_timesteps,
+                                                   pndm_prk_step,
                                                    make_schedule,
                                                    pndm_plms_step)
 from dreamfusion_tpu.guidance.sd.sds import LATENT_SCALE
@@ -52,8 +53,15 @@ def produce_latents(unet, params, sched: DiffusionSchedule, text_z: jax.Array,
     state = PNDMState(ets=(), cur_sample=latents, counter=0)
     for i, t in enumerate(ts):
         t_prev = ts[i + 1] if i + 1 < len(ts) else -1
+        if sampler == "pndm" and i < 3:
+            # full PNDM: 3 pseudo-Runge-Kutta warmup transfers (4 UNet
+            # evals each) seed the multistep history, then PLMS
+            latents, state = pndm_prk_step(
+                sched, lambda x, tt: eps_fn(x, int(tt)), latents,
+                int(t), int(t_prev), state)
+            continue
         eps = eps_fn(latents, int(t))
-        if sampler == "plms":
+        if sampler in ("plms", "pndm"):
             latents, state = pndm_plms_step(sched, eps, int(t), int(t_prev),
                                             latents, state)
         else:
@@ -113,7 +121,8 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--sd_weights", type=str, default=None)
-    ap.add_argument("--sampler", choices=("plms", "ddim"), default="plms")
+    ap.add_argument("--sampler", choices=("plms", "pndm", "ddim"),
+                    default="plms")
     ap.add_argument("--out", type=str, default="txt2img.png")
     args = ap.parse_args()
 

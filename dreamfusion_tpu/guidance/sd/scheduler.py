@@ -64,11 +64,24 @@ class PNDMState(NamedTuple):
     counter: int
 
 
+def pndm_transfer(sched: DiffusionSchedule, sample: jax.Array,
+                  eps: jax.Array, t: int, t_prev: int) -> jax.Array:
+    """The PNDM transfer x_t -> x_{t_prev} given an eps estimate
+    (Liu et al. 2022 eq. 11; diffusers PNDMScheduler._get_prev_sample)."""
+    acp_t = sched.alphas_cumprod[t]
+    acp_prev = jnp.where(t_prev >= 0, sched.alphas_cumprod[t_prev], 1.0)
+    sample_coeff = jnp.sqrt(acp_prev / acp_t)
+    denom = acp_t * jnp.sqrt(1 - acp_prev) + jnp.sqrt(acp_t * acp_prev * (1 - acp_t))
+    eps_coeff = (acp_prev - acp_t) / denom
+    return sample_coeff * sample - eps_coeff * eps
+
+
 def pndm_plms_step(sched: DiffusionSchedule, eps: jax.Array, t: int,
                    t_prev: int, sample: jax.Array, state: PNDMState):
     """PLMS (the PNDM main loop after warmup; diffusers skips the Runge-Kutta
-    prk warmup by default via `skip_prk_steps` for SD). Linear multistep
-    coefficients per Liu et al. 2022."""
+    prk warmup by default via `skip_prk_steps` for SD — use pndm_prk_step
+    for the full scheduler). Linear multistep coefficients per
+    Liu et al. 2022."""
     ets = state.ets + (eps,)
     if len(ets) > 4:
         ets = ets[-4:]
@@ -82,11 +95,37 @@ def pndm_plms_step(sched: DiffusionSchedule, eps: jax.Array, t: int,
     else:
         eps_avg = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4]) / 24
 
-    acp_t = sched.alphas_cumprod[t]
-    acp_prev = jnp.where(t_prev >= 0, sched.alphas_cumprod[t_prev], 1.0)
-    # x_{t-1} = sqrt(acp_prev/acp_t) x_t - (...) eps  (PNDM eq. 11 transfer)
-    sample_coeff = jnp.sqrt(acp_prev / acp_t)
-    denom = acp_t * jnp.sqrt(1 - acp_prev) + jnp.sqrt(acp_t * acp_prev * (1 - acp_t))
-    eps_coeff = (acp_prev - acp_t) / denom
-    prev = sample_coeff * sample - eps_coeff * eps_avg
+    prev = pndm_transfer(sched, sample, eps_avg, t, t_prev)
     return prev, PNDMState(ets=ets, cur_sample=prev, counter=state.counter + 1)
+
+
+def pndm_prk_step(sched: DiffusionSchedule, eps_fn, sample: jax.Array,
+                  t: int, t_prev: int, state: PNDMState):
+    """One pseudo Runge-Kutta warmup transfer x_t -> x_{t_prev}
+    (Liu et al. 2022 alg. 1; diffusers step_prk with its 1/6-1/3-1/3-1/6
+    accumulation and half-interval midpoints). The full PNDM runs 3 of
+    these before switching to PLMS; each costs 4 eps_fn (UNet) evals:
+
+        e1 = eps(x_t, t)         x'   = phi(x_t, e1, t, t_mid)
+        e2 = eps(x', t_mid)      x''  = phi(x_t, e2, t, t_mid)
+        e3 = eps(x'', t_mid)     x''' = phi(x_t, e3, t, t_prev)
+        e4 = eps(x''', t_prev)   e'   = (e1 + 2 e2 + 2 e3 + e4) / 6
+        x_{t_prev} = phi(x_t, e', t, t_prev)
+
+    e1 is appended to ets so the PLMS switchover starts with the full
+    multistep history (reference behavior: nerf/sd.py:49 constructs the
+    diffusers PNDMScheduler whose non-SD configs run exactly this warmup).
+    """
+    t_mid = (t + t_prev) // 2 if t_prev >= 0 else t // 2
+    e1 = eps_fn(sample, t)
+    x1 = pndm_transfer(sched, sample, e1, t, t_mid)
+    e2 = eps_fn(x1, t_mid)
+    x2 = pndm_transfer(sched, sample, e2, t, t_mid)
+    e3 = eps_fn(x2, t_mid)
+    x3 = pndm_transfer(sched, sample, e3, t, t_prev)
+    e4 = eps_fn(x3, t_prev)
+    eps_prime = (e1 + 2.0 * e2 + 2.0 * e3 + e4) / 6.0
+    prev = pndm_transfer(sched, sample, eps_prime, t, t_prev)
+    ets = (state.ets + (e1,))[-4:]
+    return prev, PNDMState(ets=ets, cur_sample=prev,
+                           counter=state.counter + 1)

@@ -200,3 +200,72 @@ def test_convert_roundtrip_tiny():
                                   sorted(_flatten(converted).items())):
         assert pa == pb
         np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-6)
+
+
+def test_pndm_prk_step_rk_accumulation():
+    """The prk warmup must do exactly 4 eps evals with the 1/6-1/3-1/3-1/6
+    combination at the half-interval midpoints, and seed ets with e1
+    (Liu et al. 2022 alg. 1 / diffusers step_prk)."""
+    from dreamfusion_tpu.guidance.sd.scheduler import (PNDMState,
+                                                       make_schedule,
+                                                       pndm_prk_step,
+                                                       pndm_transfer)
+
+    sched = make_schedule()
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 4, 4, 4))
+    calls = []
+
+    def eps_fn(sample, t):
+        calls.append(int(t))
+        # deterministic but call-dependent output
+        return jnp.full_like(sample, float(len(calls)))
+
+    state = PNDMState(ets=(), cur_sample=x, counter=0)
+    prev, state2 = pndm_prk_step(sched, eps_fn, x, 901, 801, state)
+
+    assert calls == [901, 851, 851, 801]
+    e1, e2, e3, e4 = 1.0, 2.0, 3.0, 4.0
+    eps_prime = (e1 + 2 * e2 + 2 * e3 + e4) / 6.0
+    expect = pndm_transfer(sched, x, jnp.full_like(x, eps_prime), 901, 801)
+    np.testing.assert_allclose(np.asarray(prev), np.asarray(expect),
+                               rtol=1e-6)
+    assert len(state2.ets) == 1
+    np.testing.assert_allclose(np.asarray(state2.ets[0]), 1.0)
+
+
+def test_pndm_full_sampler_recovers_x0_with_exact_eps():
+    """With the exact eps oracle of a delta data distribution, the
+    prk-warmup + plms sampler must walk x_T back to x0 (transfer is
+    x0-preserving under exact eps), and the plms switchover must start at
+    full multistep order (ets pre-seeded by the 3 prk steps)."""
+    from dreamfusion_tpu.guidance.sd.scheduler import (PNDMState,
+                                                       add_noise,
+                                                       ddim_timesteps,
+                                                       make_schedule,
+                                                       pndm_plms_step,
+                                                       pndm_prk_step)
+
+    sched = make_schedule()
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 4)) * 0.5
+
+    def eps_exact(x, t):
+        acp = sched.alphas_cumprod[t]
+        return (x - jnp.sqrt(acp) * x0) / jnp.sqrt(1.0 - acp)
+
+    ts = ddim_timesteps(1000, 25)
+    noise = jax.random.normal(jax.random.PRNGKey(2), x0.shape)
+    x = add_noise(sched, x0, noise, jnp.array([int(ts[0])]))
+
+    state = PNDMState(ets=(), cur_sample=x, counter=0)
+    for i, t in enumerate(ts):
+        t_prev = int(ts[i + 1]) if i + 1 < len(ts) else -1
+        if i < 3:
+            x, state = pndm_prk_step(sched, eps_exact, x, int(t), t_prev,
+                                     state)
+        else:
+            if i == 3:
+                assert len(state.ets) == 3   # warmup seeded the history
+            x, state = pndm_plms_step(sched, eps_exact(x, int(t)), int(t),
+                                      t_prev, x, state)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=5e-3)
