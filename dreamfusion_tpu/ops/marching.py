@@ -274,11 +274,27 @@ def march_rays(key: Optional[jax.Array], occ: jax.Array, rays_o: jax.Array,
             * (2.0 / H) - 1.0
         t_axis = (nb * mip_bound[:, None] - x) * inv_d
         tt = t + jnp.maximum(0.0, jnp.min(t_axis, axis=-1))
-        # advance to >= tt in whole dt multiples (== CUDA do/while for
-        # dt_gamma == 0; conservative single-dt estimate otherwise)
-        n_skip = jnp.maximum(jnp.ceil((tt - t) / dt), 1.0)
-        t_next = jnp.where(emit, t + dt, t + n_skip * dt)
-        t_next = jnp.where(alive, t_next, t)
+        # advance with the EXACT CUDA do/while semantics
+        # (raymarching.cu:396-399): dt is re-clamped from the *current* t at
+        # every sub-step, so it grows during a long skip. Emitting rays take
+        # exactly one advance (their target is t itself, and do/while always
+        # runs once, == `t += dt`). Masked batched while_loop: cheap [N]
+        # vector math per sub-step, no gathers; marching carries no
+        # gradients so while_loop's non-differentiability is moot.
+        target = jnp.where(emit, t, tt)
+
+        def adv(tv):
+            return tv + jnp.clip(tv * dt_gamma, dt_min, dt_max)
+
+        t1 = jnp.where(alive, adv(t), t)              # mandatory first step
+
+        def cond(tv):
+            return jnp.any((tv < target) & alive)
+
+        def body(tv):
+            return jnp.where((tv < target) & alive, adv(tv), tv)
+
+        t_next = jax.lax.while_loop(cond, body, t1)
         return t_next, (t, dt, emit)
 
     _, (ts, dts, emits) = jax.lax.scan(step_fn, t0, None, length=max_steps)
