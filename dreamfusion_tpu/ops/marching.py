@@ -415,6 +415,44 @@ def render_grid(
                        nears, fars, bound=bound, max_steps=max_steps, K=K,
                        dt_gamma=dt_gamma, perturb=perturb)
 
+    return shade_march(
+        fns, march, rays_o, rays_d, nears, fars, K=K, bound=bound,
+        light_d=light_d, ambient_ratio=ambient_ratio,
+        shading_code=shading_code, bg_radius=bg_radius, bg_color=bg_color,
+        T_thresh=T_thresh, compute_normal_losses=compute_normal_losses,
+        pallas_composite=pallas_composite, k_smooth=k_smooth)
+
+
+def shade_march(
+    fns,
+    march: MarchOut,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    nears: jax.Array,
+    fars: jax.Array,
+    *,
+    K: int,
+    bound: float,
+    light_d: jax.Array,
+    ambient_ratio: jax.Array | float = 1.0,
+    shading_code: jax.Array | int = 0,
+    bg_radius: float = 1.4,
+    bg_color: Optional[jax.Array] = None,
+    T_thresh: float = 1e-4,
+    compute_normal_losses: bool = False,
+    pallas_composite: bool = False,
+    k_smooth: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """Field query + compositing over pre-marched samples. Split out of
+    render_grid so staged/bucketed eval can march once at the full budget
+    and shade at a smaller static K (march is sliced to the first K
+    columns — samples are t-ordered, so this is the same truncation the
+    mean_count ray budget applies, raymarching.py:200-231)."""
+    N = rays_o.shape[0]
+    if K < march.ts.shape[1]:
+        march = MarchOut(ts=march.ts[:, :K], dts=march.dts[:, :K],
+                         valid=march.valid[:, :K], counts=march.counts)
+
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * march.ts[..., None]
     xyzs = jnp.clip(xyzs, -bound, bound)                      # [N, K, 3]
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
@@ -453,7 +491,7 @@ def render_grid(
         w_sg = jax.lax.stop_gradient(out.weights) * march.valid
         loss_orient = w_sg * jnp.clip(jnp.sum(normal * dirs, -1), 0.0, None) ** 2
         results["loss_orient"] = jnp.mean(jnp.sum(loss_orient, -1))
-        if fns.normal is not None:
+        if fns.normal is not None and k_smooth is not None:
             xp = xyzs + jax.random.normal(k_smooth, xyzs.shape) * 1e-2
             normal_p = fns.normal(xp.reshape(-1, 3)).reshape(N, K, 3)
             results["loss_smooth"] = jnp.mean(jnp.abs(normal - normal_p))

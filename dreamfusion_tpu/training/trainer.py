@@ -195,6 +195,94 @@ def make_train_step(cfg: Config, model: _BaseNeRF, guidance: Guidance,
     return jax.jit(train_step)
 
 
+def _pick_K_bucket(q95: float, cap: int) -> int:
+    """Smallest static-K bucket covering the 95th-percentile marching count
+    (shared by the Trainer's adaptive train budget and the staged eval)."""
+    for b in (16, 32, 48, 64, 96, 128, 192, 256):
+        if b >= min(q95, cap):
+            return min(b, cap)
+    return cap
+
+
+def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
+                          chunk: int = 32768):
+    """Bucketed-K staged eval for the grid renderer — the TPU answer to the
+    reference's alive-ray compaction loop (nerf/renderer.py:496-532): CUDA
+    kills terminated rays in-place; with static shapes we instead march each
+    ray chunk once at the full K budget (cheap: occupancy gathers, no
+    field), pull the chunk's 95th-percentile sample count, and shade at the
+    smallest bucket K that covers it. Background-dominated chunks shade at
+    K=16 instead of cfg.grid_K=128 — an ~8x cut in field queries for
+    typical orbit frames. One compilation per (K bucket, bg-mode); chunks
+    dispatch from a python loop (a traced lax.map compiles ~15x slower on
+    this backend for identical steady-state, NOTES.md)."""
+    from dreamfusion_tpu.ops.composite import near_far_from_aabb
+    from dreamfusion_tpu.ops.marching import march_rays, shade_march
+
+    aabb = jnp.array([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
+
+    @jax.jit
+    def march_chunk(occ, o, d):
+        nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
+        m = march_rays(None, occ, o, d, nears, fars, bound=cfg.bound,
+                       max_steps=cfg.max_steps, K=cfg.grid_K,
+                       dt_gamma=cfg.dt_gamma, perturb=False)
+        q95 = jnp.percentile(m.counts.astype(jnp.float32), 95.0)
+        return m, nears, fars, q95
+
+    shade_cache: Dict[Any, Any] = {}
+
+    def get_shade(Kb: int, with_bg: bool):
+        if (Kb, with_bg) not in shade_cache:
+            @jax.jit
+            def shade(params, m, o, d, nears, fars, shading_code,
+                      ambient_ratio, light_d, bg_color):
+                fns = make_field_fns(model, params)._replace(normal=None)
+                bg = (jnp.broadcast_to(bg_color, (o.shape[0], 3))
+                      if with_bg else None)
+                return shade_march(
+                    fns, m, o, d, nears, fars, K=Kb, bound=cfg.bound,
+                    light_d=light_d, ambient_ratio=ambient_ratio,
+                    shading_code=shading_code, bg_radius=cfg.bg_radius,
+                    bg_color=bg, pallas_composite=cfg.pallas_composite)
+
+            shade_cache[(Kb, with_bg)] = shade
+        return shade_cache[(Kb, with_bg)]
+
+    def render_frame(params, rays_o, rays_d, grid_state=None,
+                     shading_code=SHADING_ALBEDO, ambient_ratio=1.0,
+                     bg_color=None, light_d=None):
+        N = H * W
+        if light_d is None:
+            light_d = cameras.safe_normalize(rays_o[0])
+        pad = (-N) % chunk
+        if pad:
+            rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3))], 0)
+            rays_d = jnp.concatenate(
+                [rays_d, jnp.ones((pad, 3)) / 3 ** 0.5], 0)
+        with_bg = bg_color is not None
+        bg = (jnp.asarray(bg_color, jnp.float32) if with_bg
+              else jnp.zeros((3,), jnp.float32))
+        outs = []
+        for s in range(0, rays_o.shape[0], chunk):
+            o = rays_o[s:s + chunk]
+            d = rays_d[s:s + chunk]
+            m, nears, fars, q95 = march_chunk(grid_state.occ, o, d)
+            Kb = _pick_K_bucket(float(q95), cfg.grid_K)   # one D2H per chunk
+            out = get_shade(Kb, with_bg)(
+                params, m, o, d, nears, fars, shading_code, ambient_ratio,
+                light_d, bg)
+            outs.append({k: out[k] for k in
+                         ("image", "depth", "weights_sum")})
+        cat = {k: jnp.concatenate([o_[k] for o_ in outs], 0)[:N]
+               for k in outs[0]}
+        return {"image": cat["image"].reshape(H, W, 3),
+                "depth": cat["depth"].reshape(H, W),
+                "weights_sum": cat["weights_sum"].reshape(H, W)}
+
+    return render_frame
+
+
 def make_eval_render(cfg: Config, model: _BaseNeRF, H: int, W: int,
                      chunk: int = 4096, renderer: str = "stratified",
                      mesh=None):
@@ -203,7 +291,10 @@ def make_eval_render(cfg: Config, model: _BaseNeRF, H: int, W: int,
 
     With a mesh, the ray axis is sharded over devices (the TPU analog of
     the reference's eval all_gather, nerf/utils.py:787-797) and chunking
-    bounds per-device memory."""
+    bounds per-device memory. Single-device grid rendering uses the
+    bucketed-K staged path (make_staged_grid_eval)."""
+    if renderer == "grid" and mesh is None:
+        return make_staged_grid_eval(cfg, model, H, W)
 
     def ray_fn(params, rays_o, rays_d, grid_state=None,
                shading_code=SHADING_ALBEDO, ambient_ratio=1.0, light_d=None,
@@ -382,10 +473,7 @@ class Trainer:
         (raymarching.py:200-231): compute scales with occupancy instead of
         always paying the max_steps cap. Bucketing keeps shapes static
         (one cached compilation per bucket)."""
-        for b in (16, 32, 48, 64, 96, 128, 192, 256):
-            if b >= min(q95, self.cfg.grid_K):
-                return min(b, self.cfg.grid_K)
-        return self.cfg.grid_K
+        return _pick_K_bucket(q95, self.cfg.grid_K)
 
     def _get_train_step(self, grid_K: Optional[int]):
         key = grid_K or self.cfg.grid_K
