@@ -28,8 +28,11 @@ REFERENCE_EVAL_FPS = 10.0                     # readme.md:21, 800x800
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sd_weights", default="random-full")
-    ap.add_argument("--warmup", type=int, default=20)
-    ap.add_argument("--steps", type=int, default=30)
+    # warmup past the 4 full occupancy refreshes (64 steps) so the
+    # measured window runs the production steady state: partial refreshes
+    # + the settled adaptive-K bucket
+    ap.add_argument("--warmup", type=int, default=70)
+    ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--skip_eval", action="store_true")
     ap.add_argument("--profile", default=None,
                     help="capture a jax.profiler trace of the measured "

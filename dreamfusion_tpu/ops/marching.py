@@ -164,12 +164,14 @@ def make_update_extra_state(cfg, model):
     """Bind (cfg, model) -> jitted update fn(params, grid_state, key,
     refresh_idx=0).
 
-    refresh_idx selects the update mode: the first 16 refreshes are full
+    refresh_idx selects the update mode: the first 4 refreshes are full
     (the reference always refreshes fully, renderer.py:562-613, but its
     CUDA hash gathers are cheap); afterwards each refresh covers one of 4
     disjoint quarter-lattices (mainline torch-ngp's warmed-up partial
-    update) — measured 1.65 s -> ~0.4 s per refresh on v5e, with full
-    coverage every 4 refreshes under the same 0.95 EMA decay.
+    update) — measured 1.7 s -> ~0.45 s per refresh on v5e, with full
+    coverage every 4 refreshes under the same 0.95 EMA decay, so any
+    cell's occupancy is at most 4 refreshes (64 steps) stale — the EMA
+    max() keeps decayed-but-occupied cells occupied meanwhile.
     """
     import functools
 
@@ -187,7 +189,7 @@ def make_update_extra_state(cfg, model):
 
     def update(params, grid_state, key, refresh_idx: int = 0):
         # 5 cached compilations total: full + 4 quarter phases
-        partial = None if refresh_idx < 16 else (refresh_idx % 4, 4)
+        partial = None if refresh_idx < 4 else (refresh_idx % 4, 4)
         return _update(params, grid_state, key, partial)
 
     return update

@@ -429,6 +429,14 @@ class Trainer:
 
         self._step_cache = {}
         self._train_step = self._get_train_step(None)
+        # the jitted occupancy-grid refresh is built ONCE: rebuilding it per
+        # train() call re-traces the 128^3 field query (~8 s on the TPU
+        # tunnel) inside what should be steady-state steps
+        self._update_grid = None
+        if self.renderer == "grid":
+            from dreamfusion_tpu.ops.marching import make_update_extra_state
+
+            self._update_grid = make_update_extra_state(cfg, self.model)
         self._eval_render = None
         self.stats = {"valid_loss": [], "best_result": None}
 
@@ -495,11 +503,7 @@ class Trainer:
         cfg = self.cfg
         max_steps = max_steps or cfg.iters
         t0 = time.time()
-        update_grid = None
-        if self.renderer == "grid":
-            from dreamfusion_tpu.ops.marching import make_update_extra_state
-
-            update_grid = make_update_extra_state(cfg, self.model)
+        update_grid = self._update_grid
 
         step = int(self.state.step)   # the ONLY D2H sync outside log points
         metrics = None
