@@ -52,6 +52,7 @@ class Config:
     pallas_composite: bool = False      # fused Pallas compositing kernel in
                                         # the grid renderer (vs jnp cumprod;
                                         # flip after measuring on real TPU)
+    grid_table_bf16: bool = False       # bf16 hash-table gathers (HBM lever)
     grid_decay: float = 0.95            # occupancy EMA decay (renderer.py:563)
     # -- model ---------------------------------------------------------------
     backbone: str = "grid"              # 'grid' | 'vanilla' | 'dvgo'
@@ -173,6 +174,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--grid_size", type=int, default=defaults.grid_size)
     p.add_argument("--pallas_composite", action="store_true",
                    default=defaults.pallas_composite)
+    p.add_argument("--grid_table_bf16", action="store_true",
+                   default=defaults.grid_table_bf16)
     p.add_argument("--grid_decay", type=float, default=defaults.grid_decay)
     p.add_argument("--test_size", type=int, default=defaults.test_size)
     p.add_argument("--val_size", type=int, default=defaults.val_size)

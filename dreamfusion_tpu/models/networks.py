@@ -165,6 +165,7 @@ class NeRFGridNetwork(_BaseNeRF):
     """
     num_layers: int = 3
     hidden_dim: int = 64
+    table_bf16: bool = False    # bf16 table view for the corner gathers
 
     def setup(self):
         self.enc_spec = GridEncoderSpec(
@@ -181,7 +182,17 @@ class NeRFGridNetwork(_BaseNeRF):
                               dtype=self.compute_dtype)
 
     def encode(self, x):
-        return self.enc_spec(self.embeddings, x, bound=self.bound)
+        emb = self.embeddings
+        if self.table_bf16:
+            # bf16 table view halves the HBM traffic of the 8-corner x L
+            # gathers (the forward hot spot); params/optimizer stay f32 and
+            # the trilinear blend accumulates in f32 (the CUDA reference
+            # gathers/scatters the table in fp16 under AMP,
+            # gridencoder/grid.py:38-39). Costs ~3% relative L2 noise on
+            # table grads through trunc_exp; opt-in via --grid_table_bf16
+            # until measured to win on the target TPU.
+            emb = emb.astype(jnp.bfloat16)
+        return self.enc_spec(emb, x, bound=self.bound)
 
     def raw_normal(self, x, epsilon: float = 1e-2):
         """-grad sigma by central finite differences
@@ -264,7 +275,9 @@ def build_model(cfg) -> _BaseNeRF:
     dtype = jnp.bfloat16 if cfg.fp16 else jnp.float32
     if cfg.backbone == "grid":
         return NeRFGridNetwork(bound=cfg.bound, bg_radius=cfg.bg_radius,
-                               compute_dtype=dtype)
+                               compute_dtype=dtype,
+                               table_bf16=getattr(cfg, "grid_table_bf16",
+                                                  False))
     if cfg.backbone == "vanilla":
         return NeRFVanillaNetwork(bound=cfg.bound, bg_radius=cfg.bg_radius,
                                   compute_dtype=dtype)
