@@ -54,6 +54,14 @@ def main():
     # warmup: compiles the step (default K), grid refresh, adaptive-K switch
     trainer.train(max_steps=args.warmup, log_interval=10 ** 9,
                   checkpoint_at_end=False)
+    # pre-warm the K buckets adjacent to the settled one so a mid-window
+    # bucket drift never compiles inside the measurement (results discarded;
+    # state not advanced)
+    for Kb in (48, 64, 96, 128):
+        if Kb <= cfg.grid_K:
+            _ = trainer._get_train_step(Kb)(
+                trainer.state, trainer.guidance.params, trainer.text_z,
+                None, trainer.grid_state)
     _sync(trainer)
 
     t0 = time.perf_counter()

@@ -120,6 +120,10 @@ def update_grid(density_fn, state: GridState, key: jax.Array, *,
     warmed-up partial update, made deterministic/static-shaped — full
     coverage every `parts` refreshes). The field query is the expensive
     part (hash-encode at H^3 points), so parts=4 cuts refresh cost 4x.
+    `phase` may be a TRACED scalar (parts must be static): all 4 phases
+    share one compiled program — sel indices and the scatter both accept
+    dynamic values. One compile over the slow remote-compile tunnel instead
+    of four.
     """
     CAS, H = state.density_grid.shape[0], state.density_grid.shape[1]
     # cell coordinates: xyzs = 2*coords/(H-1) - 1 (renderer.py:584)
@@ -132,7 +136,7 @@ def update_grid(density_fn, state: GridState, key: jax.Array, *,
         phase, parts = partial
         n_cells = H * H * H
         n_sel = n_cells // parts                          # static length
-        sel = (phase % parts) + parts * jnp.arange(n_sel)
+        sel = (jnp.asarray(phase) % parts) + parts * jnp.arange(n_sel)
         sel = jnp.minimum(sel, n_cells - 1)
         xyzs = jnp.take(xyzs, sel, axis=0)               # [H^3/parts, 3]
 
@@ -177,20 +181,23 @@ def make_update_extra_state(cfg, model):
 
     from dreamfusion_tpu.models.networks import make_field_fns
 
-    @functools.partial(jax.jit, static_argnums=(3,))
-    def _update(params, grid_state, key, partial):
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def _update(params, grid_state, key, phase, parts):
         fns = make_field_fns(model, params, bg=False)
         # NOTE: unchunked — a lax.map-chunked version compiles ~15x slower
         # on TPU (195s vs 14s measured) for identical steady-state speed;
         # the full 128^3 query peaks ~100MB of intermediates, well in HBM.
+        partial = None if parts is None else (phase, parts)
         return update_grid(fns.density, grid_state, key, bound=cfg.bound,
                            density_thresh=cfg.density_thresh,
                            decay=cfg.grid_decay, chunk=None, partial=partial)
 
     def update(params, grid_state, key, refresh_idx: int = 0):
-        # 5 cached compilations total: full + 4 quarter phases
-        partial = None if refresh_idx < 4 else (refresh_idx % 4, 4)
-        return _update(params, grid_state, key, partial)
+        # 2 cached compilations total: full + one phase-dynamic partial
+        if refresh_idx < 4:
+            return _update(params, grid_state, key, jnp.int32(0), None)
+        return _update(params, grid_state, key,
+                       jnp.int32(refresh_idx % 4), 4)
 
     return update
 
