@@ -205,19 +205,29 @@ def _pick_K_bucket(q95: float, cap: int) -> int:
 
 
 def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
-                          chunk: int = 32768):
-    """Bucketed-K staged eval for the grid renderer — the TPU answer to the
-    reference's alive-ray compaction loop (nerf/renderer.py:496-532): CUDA
-    kills terminated rays in-place; with static shapes we instead march each
-    ray chunk once at the full K budget (cheap: occupancy gathers, no
-    field), pull the chunk's 95th-percentile sample count, and shade at the
-    smallest bucket K that covers it. Background-dominated chunks shade at
-    K=16 instead of cfg.grid_K=128 — an ~8x cut in field queries for
-    typical orbit frames. One compilation per (K bucket, bg-mode); chunks
-    dispatch from a python loop (a traced lax.map compiles ~15x slower on
-    this backend for identical steady-state, NOTES.md)."""
+                          chunk: int = 65536, group: int = 16384):
+    """Sorted bucketed-K staged eval for the grid renderer — the TPU answer
+    to the reference's alive-ray compaction loop (nerf/renderer.py:496-532).
+
+    CUDA kills terminated rays in-place; with static shapes we instead:
+    1. march every ray chunk once at the full K budget (occupancy gathers
+       only, no field queries),
+    2. SORT the frame's rays by marching count (device argsort; marched
+       samples ride along through row gathers),
+    3. shade fixed-size ray groups in sorted order, each at the smallest
+       static-K bucket covering the group's max count — ONE D2H transfer
+       fetches all group maxima. Groups with max count 0 (pure background,
+       most of an orbit frame) skip the field entirely,
+    4. scatter the shaded groups back through the inverse permutation.
+
+    Per-chunk q95 bucketing (the first cut) barely helped: row-band chunks
+    almost always cross the object, so every chunk paid K=128. Sorting
+    makes the groups homogeneous, which is where the reference's per-ray
+    early termination actually gets its win. One compilation per
+    (K bucket, bg mode); python-loop dispatch (a traced lax.map compiles
+    ~15x slower here for identical steady-state, NOTES.md)."""
     from dreamfusion_tpu.ops.composite import near_far_from_aabb
-    from dreamfusion_tpu.ops.marching import march_rays, shade_march
+    from dreamfusion_tpu.ops.marching import MarchOut, march_rays, shade_march
 
     aabb = jnp.array([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
 
@@ -227,16 +237,27 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         m = march_rays(None, occ, o, d, nears, fars, bound=cfg.bound,
                        max_steps=cfg.max_steps, K=cfg.grid_K,
                        dt_gamma=cfg.dt_gamma, perturb=False)
-        q95 = jnp.percentile(m.counts.astype(jnp.float32), 95.0)
-        return m, nears, fars, q95
+        return m, nears, fars
+
+    @jax.jit
+    def sort_frame(counts, ts, dts, valid, o, d, nears, fars):
+        perm = jnp.argsort(counts)                     # ascending: bg first
+        take = lambda x: jnp.take(x, perm, axis=0)
+        n_groups = counts.shape[0] // group
+        gmax = jnp.take(counts, perm, axis=0).reshape(
+            n_groups, group).max(axis=1)
+        return (perm, gmax, take(ts), take(dts), take(valid), take(o),
+                take(d), take(nears), take(fars))
 
     shade_cache: Dict[Any, Any] = {}
 
     def get_shade(Kb: int, with_bg: bool):
         if (Kb, with_bg) not in shade_cache:
             @jax.jit
-            def shade(params, m, o, d, nears, fars, shading_code,
-                      ambient_ratio, light_d, bg_color):
+            def shade(params, ts, dts, valid, o, d, nears, fars,
+                      shading_code, ambient_ratio, light_d, bg_color):
+                m = MarchOut(ts=ts, dts=dts, valid=valid,
+                             counts=valid.sum(axis=1))
                 fns = make_field_fns(model, params)._replace(normal=None)
                 bg = (jnp.broadcast_to(bg_color, (o.shape[0], 3))
                       if with_bg else None)
@@ -249,36 +270,88 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             shade_cache[(Kb, with_bg)] = shade
         return shade_cache[(Kb, with_bg)]
 
+    bg_cache: Dict[bool, Any] = {}
+
+    def get_bg_only(with_bg: bool):
+        """count==0 groups: image = background directly, weights_sum = 0,
+        depth = 0 — NO field query (renderer.py:535-544 semantics when no
+        sample survives)."""
+        if with_bg not in bg_cache:
+            @jax.jit
+            def bg_only(params, d, bg_color):
+                n = d.shape[0]
+                if cfg.bg_radius > 0:
+                    fns = make_field_fns(model, params)
+                    bg = fns.background(d)
+                elif with_bg:
+                    bg = jnp.broadcast_to(bg_color, (n, 3))
+                else:
+                    bg = jnp.ones((n, 3), jnp.float32)
+                return {"image": bg, "depth": jnp.zeros((n,)),
+                        "weights_sum": jnp.zeros((n,))}
+
+            bg_cache[with_bg] = bg_only
+        return bg_cache[with_bg]
+
     def render_frame(params, rays_o, rays_d, grid_state=None,
                      shading_code=SHADING_ALBEDO, ambient_ratio=1.0,
                      bg_color=None, light_d=None):
         N = H * W
         if light_d is None:
             light_d = cameras.safe_normalize(rays_o[0])
-        pad = (-N) % chunk
+        pad = (-N) % group
         if pad:
             rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3))], 0)
             rays_d = jnp.concatenate(
                 [rays_d, jnp.ones((pad, 3)) / 3 ** 0.5], 0)
+        Np = rays_o.shape[0]
         with_bg = bg_color is not None
         bg = (jnp.asarray(bg_color, jnp.float32) if with_bg
               else jnp.zeros((3,), jnp.float32))
-        outs = []
-        for s in range(0, rays_o.shape[0], chunk):
+
+        # 1. march (chunked for memory; concatenated on device)
+        parts = []
+        for s in range(0, Np, chunk):
             o = rays_o[s:s + chunk]
             d = rays_d[s:s + chunk]
-            m, nears, fars, q95 = march_chunk(grid_state.occ, o, d)
-            Kb = _pick_K_bucket(float(q95), cfg.grid_K)   # one D2H per chunk
-            out = get_shade(Kb, with_bg)(
-                params, m, o, d, nears, fars, shading_code, ambient_ratio,
-                light_d, bg)
-            outs.append({k: out[k] for k in
-                         ("image", "depth", "weights_sum")})
-        cat = {k: jnp.concatenate([o_[k] for o_ in outs], 0)[:N]
-               for k in outs[0]}
-        return {"image": cat["image"].reshape(H, W, 3),
-                "depth": cat["depth"].reshape(H, W),
-                "weights_sum": cat["weights_sum"].reshape(H, W)}
+            m, nears, fars = march_chunk(grid_state.occ, o, d)
+            parts.append((m, nears, fars))
+        counts = jnp.concatenate([p[0].counts for p in parts])
+        ts = jnp.concatenate([p[0].ts for p in parts])
+        dts = jnp.concatenate([p[0].dts for p in parts])
+        valid = jnp.concatenate([p[0].valid for p in parts])
+        nears = jnp.concatenate([p[1] for p in parts])
+        fars = jnp.concatenate([p[2] for p in parts])
+
+        # 2. sort by count; 3. one D2H for all group maxima
+        (perm, gmax, ts, dts, valid, o_s, d_s, nears_s, fars_s) = sort_frame(
+            counts, ts, dts, valid, rays_o, rays_d, nears, fars)
+        gmax_host = np.asarray(gmax)
+
+        outs = []
+        for g in range(Np // group):
+            sl = slice(g * group, (g + 1) * group)
+            maxc = int(gmax_host[g])
+            if maxc == 0:
+                out = get_bg_only(with_bg)(params, d_s[sl], bg)
+            else:
+                Kb = _pick_K_bucket(float(maxc), cfg.grid_K)
+                out = get_shade(Kb, with_bg)(
+                    params, ts[sl], dts[sl], valid[sl], o_s[sl], d_s[sl],
+                    nears_s[sl], fars_s[sl], shading_code, ambient_ratio,
+                    light_d, bg)
+            outs.append(out)
+
+        image = jnp.concatenate([o_["image"] for o_ in outs], 0)
+        depth = jnp.concatenate([o_["depth"] for o_ in outs], 0)
+        ws = jnp.concatenate([o_["weights_sum"] for o_ in outs], 0)
+        inv = jnp.argsort(perm)                        # 4. unsort
+        image = jnp.take(image, inv, axis=0)[:N]
+        depth = jnp.take(depth, inv, axis=0)[:N]
+        ws = jnp.take(ws, inv, axis=0)[:N]
+        return {"image": image.reshape(H, W, 3),
+                "depth": depth.reshape(H, W),
+                "weights_sum": ws.reshape(H, W)}
 
     return render_frame
 
