@@ -369,19 +369,23 @@ def _march_rays_uniform(key, occ, rays_o, rays_d, nears, fars, *,
 
 
 def _compact(ts, dts, emits, K: int) -> MarchOut:
-    # compaction: cumsum slot scatter (deterministic; replaces atomicAdd)
-    N = ts.shape[0]
-    slot = jnp.cumsum(emits, axis=1) - 1                     # [N, S]
-    keep = emits & (slot < K)
-    slot_c = jnp.where(keep, slot, K)
-    rows = jnp.broadcast_to(jnp.arange(N)[:, None], slot_c.shape)
-    buf_t = jnp.zeros((N, K + 1)).at[rows, slot_c].set(jnp.where(keep, ts, 0.0))
-    buf_dt = jnp.zeros((N, K + 1)).at[rows, slot_c].set(jnp.where(keep, dts, 0.0))
+    """Compact emitted samples to the first K slots per ray (replaces the
+    CUDA atomicAdd slot reservation, raymarching.cu:405-406).
+
+    Implemented as a lane-axis sort with key = (ts if emitted else +inf):
+    t is strictly increasing along a ray, so sorting moves the emitted
+    samples, in order, to the front. A sort pass over [N, S] is ~20x
+    cheaper on TPU than the equivalent cumsum-slot scatter (XLA scatter
+    serializes row updates at ~57M rows/s; this was 0.6 s per 65k-ray
+    eval chunk)."""
+    key = jnp.where(emits, ts, jnp.inf)
+    key_sorted, dt_sorted = jax.lax.sort((key, dts), dimension=1, num_keys=1)
     counts = jnp.sum(emits, axis=1)
     k_ar = jnp.arange(K)[None, :]
     valid = k_ar < jnp.minimum(counts, K)[:, None]
-    return MarchOut(ts=buf_t[:, :K], dts=buf_dt[:, :K], valid=valid,
-                    counts=counts)
+    ts_out = jnp.where(valid, key_sorted[:, :K], 0.0)
+    dt_out = jnp.where(valid, dt_sorted[:, :K], 0.0)
+    return MarchOut(ts=ts_out, dts=dt_out, valid=valid, counts=counts)
 
 
 # ---------------------------------------------------------------------------
