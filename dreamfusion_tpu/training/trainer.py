@@ -293,6 +293,36 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             bg_cache[with_bg] = bg_only
         return bg_cache[with_bg]
 
+    # -- coarse classification pass (v3) ---------------------------------------
+    # stride-subsampled probes of the dilated occupancy grid prove which rays
+    # emit nothing; only the sorted nonzero tail is fine-marched and shaded.
+    # Sound for the single-cascade lattice (bound=1, the -O default); C>1
+    # uses stride 1 probes of the raw grid (= exact counts, same probe cost
+    # as marching but no compaction or sample carry). dt_gamma>0 keeps the
+    # march-everything fallback.
+    from dreamfusion_tpu.ops.marching import (coarse_hit_counts, dilate_occ,
+                                              max_coarse_stride)
+
+    coarse_ok = cfg.dt_gamma == 0.0
+    stride = max_coarse_stride(cfg.max_steps, cfg.grid_size) \
+        if cfg.cascade == 1 else 1
+
+    @jax.jit
+    def coarse_sort(occ, o, d):
+        nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
+        grid = dilate_occ(occ) if stride > 1 else occ
+        hits = coarse_hit_counts(grid, o, d, nears, fars, bound=cfg.bound,
+                                 max_steps=cfg.max_steps, stride=stride)
+        perm = jnp.argsort(hits)                   # ascending: bg first
+        take = lambda x: jnp.take(x, perm, axis=0)
+        n_hit = jnp.sum(hits > 0)
+        return perm, take(o), take(d), n_hit
+
+    @jax.jit
+    def paste(full_img, full_depth, full_ws, img, depth, ws, start):
+        up = lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, start, 0)
+        return up(full_img, img), up(full_depth, depth), up(full_ws, ws)
+
     def render_frame(params, rays_o, rays_d, grid_state=None,
                      shading_code=SHADING_ALBEDO, ambient_ratio=1.0,
                      bg_color=None, light_d=None):
@@ -309,12 +339,53 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         bg = (jnp.asarray(bg_color, jnp.float32) if with_bg
               else jnp.zeros((3,), jnp.float32))
 
-        # 1. march (chunked for memory; concatenated on device)
+        if not coarse_ok:
+            return _render_full(params, rays_o, rays_d, grid_state,
+                                shading_code, ambient_ratio, bg, with_bg,
+                                light_d, N, Np)
+
+        # 1. one-dispatch coarse classify + sort (bg rays first)
+        perm, o_s, d_s, n_hit = coarse_sort(grid_state.occ, rays_o, rays_d)
+        n_hit = int(n_hit)                         # one D2H
+        n_seg = -(-n_hit // group) if n_hit else 0
+
+        # 2. background for the whole frame in one dispatch (cheap: bg net
+        # on directions only); shaded tail segments overwrite it
+        out_bg = get_bg_only(with_bg)(params, d_s, bg)
+        image, depth, ws = (out_bg["image"], out_bg["depth"],
+                            out_bg["weights_sum"])
+
+        # 3. fine-march + shade only the nonzero tail, group at a time
+        for seg in range(n_seg):
+            start = Np - (seg + 1) * group         # static size, traced start
+            o_g = jax.lax.dynamic_slice_in_dim(o_s, start, group, 0)
+            d_g = jax.lax.dynamic_slice_in_dim(d_s, start, group, 0)
+            m, nears_g, fars_g = march_chunk(grid_state.occ, o_g, d_g)
+            maxc = int(jnp.max(m.counts))          # one D2H per segment
+            Kb = _pick_K_bucket(float(max(maxc, 1)), cfg.grid_K)
+            out = get_shade(Kb, with_bg)(
+                params, m.ts, m.dts, m.valid, o_g, d_g, nears_g, fars_g,
+                shading_code, ambient_ratio, light_d, bg)
+            image, depth, ws = paste(image, depth, ws, out["image"],
+                                     out["depth"], out["weights_sum"],
+                                     start)
+
+        inv = jnp.argsort(perm)                    # 4. unsort
+        image = jnp.take(image, inv, axis=0)[:N]
+        depth = jnp.take(depth, inv, axis=0)[:N]
+        ws = jnp.take(ws, inv, axis=0)[:N]
+        return {"image": image.reshape(H, W, 3),
+                "depth": depth.reshape(H, W),
+                "weights_sum": ws.reshape(H, W)}
+
+    def _render_full(params, rays_o, rays_d, grid_state, shading_code,
+                     ambient_ratio, bg, with_bg, light_d, N, Np):
+        """Fallback (dt_gamma > 0): march everything, sort by exact count,
+        shade bucketed groups."""
         parts = []
         for s in range(0, Np, chunk):
-            o = rays_o[s:s + chunk]
-            d = rays_d[s:s + chunk]
-            m, nears, fars = march_chunk(grid_state.occ, o, d)
+            m, nears, fars = march_chunk(grid_state.occ, rays_o[s:s + chunk],
+                                         rays_d[s:s + chunk])
             parts.append((m, nears, fars))
         counts = jnp.concatenate([p[0].counts for p in parts])
         ts = jnp.concatenate([p[0].ts for p in parts])
@@ -323,7 +394,6 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         nears = jnp.concatenate([p[1] for p in parts])
         fars = jnp.concatenate([p[2] for p in parts])
 
-        # 2. sort by count; 3. one D2H for all group maxima
         (perm, gmax, ts, dts, valid, o_s, d_s, nears_s, fars_s) = sort_frame(
             counts, ts, dts, valid, rays_o, rays_d, nears, fars)
         gmax_host = np.asarray(gmax)
@@ -345,7 +415,7 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         image = jnp.concatenate([o_["image"] for o_ in outs], 0)
         depth = jnp.concatenate([o_["depth"] for o_ in outs], 0)
         ws = jnp.concatenate([o_["weights_sum"] for o_ in outs], 0)
-        inv = jnp.argsort(perm)                        # 4. unsort
+        inv = jnp.argsort(perm)
         image = jnp.take(image, inv, axis=0)[:N]
         depth = jnp.take(depth, inv, axis=0)[:N]
         ws = jnp.take(ws, inv, axis=0)[:N]

@@ -280,3 +280,35 @@ def test_march_scan_matches_cuda_oracle_dtgamma():
                 np.asarray(out.dts[i][:k]),
                 np.array([s[1] for s in oracle])[:k], rtol=1e-4, atol=1e-5,
                 err_msg=f"dts dt_gamma={dt_gamma} ray={i}")
+
+
+def test_coarse_pass_soundness():
+    """coarse_hit_counts == 0 must PROVE the full march emits nothing:
+    stride-subsampled probes of the 3^3-dilated grid cover every fine
+    lattice point (random grids + rays, single cascade)."""
+    from dreamfusion_tpu.ops.marching import (coarse_hit_counts, dilate_occ,
+                                              march_rays, max_coarse_stride)
+
+    H, S = 32, 128
+    stride = max_coarse_stride(S, H)
+    assert stride >= 2
+    rng = np.random.RandomState(7)
+    occ = jnp.asarray(rng.rand(1, H, H, H) < 0.002)   # sparse random
+    o = jnp.asarray(np.tile([[0.0, 0.0, -2.5]], (256, 1)), jnp.float32)
+    d = rng.normal(size=(256, 3))
+    d[:, 2] = np.abs(d[:, 2]) + 0.5
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                    jnp.float32)
+    aabb = jnp.array([-1.0, -1, -1, 1, 1, 1])
+    nears, fars = near_far_from_aabb(o, d, aabb, 0.1)
+
+    coarse = coarse_hit_counts(dilate_occ(occ), o, d, nears, fars,
+                               bound=1.0, max_steps=S, stride=stride)
+    exact = march_rays(None, occ, o, d, nears, fars, bound=1.0,
+                       max_steps=S, K=64).counts
+    c = np.asarray(coarse)
+    e = np.asarray(exact)
+    # soundness: no false negatives
+    assert not np.any((c == 0) & (e > 0)), np.where((c == 0) & (e > 0))
+    # usefulness: the coarse pass actually classifies most empty rays
+    assert np.mean(c[e == 0] == 0) > 0.5
