@@ -85,12 +85,14 @@ def main():
     if not args.skip_eval:
         # eval path: rays/sec at 512^2 and full-frame 800^2 FPS
         for H, tag in ((512, "eval_rays_per_sec_512"), (800, "eval_fps_800")):
-            out = trainer._render_orbit_frame(0, 100, H, H)
-            _ = float(jnp.sum(out["image"]))          # compile + settle
+            for w in (0, 1):   # two warm frames: different poses can pick
+                out = trainer._render_orbit_frame(w, 100, H, H)  # new K buckets
+                _ = float(jnp.sum(out["image"]))
             t0 = time.perf_counter()
-            out = trainer._render_orbit_frame(1, 100, H, H)
-            _ = float(jnp.sum(out["image"]))
-            ft = time.perf_counter() - t0
+            for f in (2, 3):
+                out = trainer._render_orbit_frame(f, 100, H, H)
+                _ = float(jnp.sum(out["image"]))
+            ft = (time.perf_counter() - t0) / 2
             result[tag] = round(H * H / ft if "rays" in tag else 1.0 / ft, 3)
         result["eval_fps_800_vs_baseline"] = round(
             result["eval_fps_800"] / REFERENCE_EVAL_FPS, 3)
