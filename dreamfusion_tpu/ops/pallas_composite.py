@@ -36,6 +36,28 @@ from jax.experimental import pallas as pl
 TILE_N = 256
 
 
+def _tri_matmul_cumsum(x, *, exclusive: bool):
+    """Prefix sum along the last axis as a triangular matmul — Mosaic has
+    no cumsum lowering for the TensorCore, and a [K, K] lower-triangular
+    matmul IS the MXU-native prefix sum (K<=~512: trivial FLOPs)."""
+    K = x.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    tri = (rows < cols if exclusive else rows <= cols).astype(jnp.float32)
+    return jnp.dot(x, tri, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _suffix_excl_matmul(x):
+    """sum_{k>i} x_k via an upper-triangular matmul (see _tri_matmul_cumsum)."""
+    K = x.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    tri = (rows > cols).astype(jnp.float32)
+    return jnp.dot(x, tri, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _fwd_kernel(sig_ref, rgb_r_ref, rgb_g_ref, rgb_b_ref, dt_ref, t_ref,
                 ws_ref, depth_ref, r_ref, g_ref, b_ref, trans_ref,
                 *, T_thresh: float):
@@ -44,8 +66,7 @@ def _fwd_kernel(sig_ref, rgb_r_ref, rgb_g_ref, rgb_b_ref, dt_ref, t_ref,
     alpha = 1.0 - jnp.exp(-sig * dt)                       # [TILE_N, K]
     # exclusive prefix product of (1 - alpha + 1e-15) in log space
     logs = jnp.log(1.0 - alpha + 1e-15)
-    cums = jnp.cumsum(logs, axis=-1)
-    trans = jnp.exp(cums - logs)                           # exclusive
+    trans = jnp.exp(_tri_matmul_cumsum(logs, exclusive=True))  # exclusive
     w = alpha * trans
     if T_thresh > 0.0:
         # transmittance early-stop as a mask (raymarching.cu:557; identical
@@ -81,10 +102,7 @@ def _bwd_kernel(sig_ref, rgb_r_ref, rgb_g_ref, rgb_b_ref, dt_ref, t_ref,
     grads_c = (gr_ref[:, 0:1], gg_ref[:, 0:1], gb_ref[:, 0:1])
     rgbs = (rgb_r_ref[:], rgb_g_ref[:], rgb_b_ref[:])
 
-    def suffix_excl(x):
-        """sum_{k>i} x_k via reversed cumsum."""
-        total = jnp.sum(x, axis=-1, keepdims=True)
-        return total - jnp.cumsum(x, axis=-1)
+    suffix_excl = _suffix_excl_matmul
 
     acc = gws * (t_next - suffix_excl(w))
     acc += gd * (t_next * t_ref[:] - suffix_excl(w * t_ref[:]))
