@@ -309,6 +309,11 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
 
     @jax.jit
     def coarse_sort(occ, o, d):
+        pad = (-o.shape[0]) % group                # pad INSIDE the jit: one
+        if pad:                                    # dispatch, not two eager
+            o = jnp.concatenate(                   # concats over the tunnel
+                [o, jnp.zeros((pad, 3))], 0)
+            d = jnp.concatenate([d, jnp.ones((pad, 3)) / 3 ** 0.5], 0)
         nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
         grid = dilate_occ(occ) if stride > 1 else occ
         hits = coarse_hit_counts(grid, o, d, nears, fars, bound=cfg.bound,
@@ -317,6 +322,14 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         take = lambda x: jnp.take(x, perm, axis=0)
         n_hit = jnp.sum(hits > 0)
         return perm, take(o), take(d), n_hit
+
+    @jax.jit
+    def unsort(image, depth, ws, perm):
+        inv = jnp.argsort(perm)
+        N = H * W
+        return (jnp.take(image, inv, axis=0)[:N].reshape(H, W, 3),
+                jnp.take(depth, inv, axis=0)[:N].reshape(H, W),
+                jnp.take(ws, inv, axis=0)[:N].reshape(H, W))
 
     @jax.jit
     def paste(full_img, full_depth, full_ws, img, depth, ws, start):
@@ -329,17 +342,17 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         N = H * W
         if light_d is None:
             light_d = cameras.safe_normalize(rays_o[0])
-        pad = (-N) % group
-        if pad:
-            rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3))], 0)
-            rays_d = jnp.concatenate(
-                [rays_d, jnp.ones((pad, 3)) / 3 ** 0.5], 0)
-        Np = rays_o.shape[0]
+        Np = N + ((-N) % group)
         with_bg = bg_color is not None
         bg = (jnp.asarray(bg_color, jnp.float32) if with_bg
               else jnp.zeros((3,), jnp.float32))
 
         if not coarse_ok:
+            pad = Np - N
+            if pad:
+                rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3))], 0)
+                rays_d = jnp.concatenate(
+                    [rays_d, jnp.ones((pad, 3)) / 3 ** 0.5], 0)
             return _render_full(params, rays_o, rays_d, grid_state,
                                 shading_code, ambient_ratio, bg, with_bg,
                                 light_d, N, Np)
@@ -370,13 +383,8 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                                      out["depth"], out["weights_sum"],
                                      start)
 
-        inv = jnp.argsort(perm)                    # 4. unsort
-        image = jnp.take(image, inv, axis=0)[:N]
-        depth = jnp.take(depth, inv, axis=0)[:N]
-        ws = jnp.take(ws, inv, axis=0)[:N]
-        return {"image": image.reshape(H, W, 3),
-                "depth": depth.reshape(H, W),
-                "weights_sum": ws.reshape(H, W)}
+        image, depth, ws = unsort(image, depth, ws, perm)  # 4. one dispatch
+        return {"image": image, "depth": depth, "weights_sum": ws}
 
     def _render_full(params, rays_o, rays_d, grid_state, shading_code,
                      ambient_ratio, bg, with_bg, light_d, N, Np):
@@ -701,8 +709,19 @@ class Trainer:
                 renderer=self.renderer, mesh=self.mesh))
         return self._eval_render[1]
 
+    def _get_test_rays_fn(self, size: int, H: int, W: int):
+        """Jitted orbit-ray generation — eager per-op dispatch costs
+        seconds per frame over the remote tunnel."""
+        key = ("test_rays", size, H, W)
+        if key not in self._step_cache:
+            cfg = self.cfg
+            self._step_cache[key] = jax.jit(
+                lambda idx: cameras.sample_test_batch(idx, size, cfg,
+                                                      H=H, W=W))
+        return self._step_cache[key]
+
     def _render_orbit_frame(self, i: int, size: int, H: int, W: int):
-        batch = cameras.sample_test_batch(jnp.array([i]), size, self.cfg, H=H, W=W)
+        batch = self._get_test_rays_fn(size, H, W)(jnp.array([i]))
         render = self._get_eval_render(H, W)
         args = (self.state.params, batch["rays_o"][0], batch["rays_d"][0])
         if self.renderer == "grid":
