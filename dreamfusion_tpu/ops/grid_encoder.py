@@ -65,6 +65,84 @@ def _use_pallas_scatter(level_dim: int) -> Optional[bool]:
 
 
 @functools.lru_cache(maxsize=None)
+def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
+                            corner_offs: Tuple[Tuple[int, ...], ...]):
+    """Oct-table encode for affine-mod levels (tiled gridtype): corner c of
+    a sample at base index b lives at (b + off_c) % size with off_c STATIC
+    per level, so all 8 corners collapse into ONE row gather of a
+    [size, 8C] 'oct table' built by static rolls. Measured on v5e: the 8
+    separate corner gathers were 18 ms/level (57% of the train step); one
+    1/8-row gather is the structural fix. The backward scatters one
+    16-wide row per SAMPLE (matmul_scatter_add_wide) and folds the oct
+    gradient back with inverse rolls — 8x fewer row updates too.
+
+    Reference semantics unchanged: gridencoder.cu:54-72 computes exactly
+    (sum_d coord_d * stride_d) % hashmap_size per corner; this is the same
+    index arithmetic hoisted into table layout."""
+
+    @jax.custom_vjp
+    def _encode_oct(emb: jax.Array, base_all: jax.Array, w_all: jax.Array):
+        """emb [T, C]; base_all [L, B] LOCAL row index of corner 0;
+        w_all [L, 2^D, B]. Returns [B, L, C]."""
+        L = base_all.shape[0]
+        C = emb.shape[-1]
+        outs = []
+        for lvl in range(L):
+            oct = _oct_table(emb, lvl)                       # [size, 8C]
+            vals = jnp.take(oct, base_all[lvl], axis=0)      # [B, 8C]
+            v = vals.reshape(vals.shape[0], -1, C)           # [B, 8, C]
+            outs.append(jnp.einsum("cb,bcj->bj", w_all[lvl],
+                                   v.astype(jnp.float32)))
+        return jnp.stack(outs, axis=1)                       # [B, L, C]
+
+    def _oct_table(emb, lvl):
+        size, off = sizes[lvl], offsets[lvl]
+        emb_l = jax.lax.slice(emb, (off, 0), (off + size, emb.shape[1]))
+        return jnp.concatenate(
+            [jnp.roll(emb_l, -o, axis=0) for o in corner_offs[lvl]], axis=1)
+
+    def _fwd(emb, base_all, w_all):
+        return _encode_oct(emb, base_all, w_all), (emb, base_all, w_all)
+
+    def _bwd(res, cot):
+        from dreamfusion_tpu.ops.pallas_scatter import matmul_scatter_add_wide
+
+        emb, base_all, w_all = res                           # cot [B, L, C]
+        L = base_all.shape[0]
+        C = emb.shape[-1]
+        pallas = _use_pallas_scatter(C)
+        parts = []
+        for lvl in range(L):
+            size = sizes[lvl]
+            if pallas is None:
+                d_l = jnp.zeros((size, C), jnp.float32)
+                for ci, o in enumerate(corner_offs[lvl]):
+                    idx = (base_all[lvl] + o) % size
+                    upd = w_all[lvl, ci][:, None] * cot[:, lvl, :]
+                    d_l = d_l.at[idx].add(upd)
+                parts.append(d_l)
+                continue
+            # channel-major [8*C, B] updates: row c*C+j = w_c * cot_j
+            upd_cm = (w_all[lvl][:, None, :]
+                      * cot[:, lvl, :].T[None, :, :]).reshape(-1,
+                                                              cot.shape[0])
+            d_oct = matmul_scatter_add_wide(
+                base_all[lvl], upd_cm, size,
+                interpret=(pallas == "interpret"))           # [size, 8C]
+            d_l = jnp.zeros((size, C), jnp.float32)
+            for ci, o in enumerate(corner_offs[lvl]):        # inverse rolls
+                d_l = d_l + jnp.roll(d_oct[:, ci * C:(ci + 1) * C], o,
+                                     axis=0)
+            parts.append(d_l)
+        d_emb = jnp.concatenate(parts, axis=0)
+        return (d_emb.astype(emb.dtype), jnp.zeros_like(base_all),
+                jnp.zeros_like(w_all))
+
+    _encode_oct.defvjp(_fwd, _bwd)
+    return _encode_oct
+
+
+@functools.lru_cache(maxsize=None)
 def _make_encode_levels(sizes: Tuple[int, ...], offsets: Tuple[int, ...]):
     """Per-geometry gather+blend with custom VJP. The static per-level
     (size, offset) tuples let the backward emit one Pallas matmul-scatter
@@ -242,6 +320,34 @@ class GridEncoderSpec:
 
         return index_fn
 
+    def _corner_offsets(self, level: int) -> Optional[Tuple[int, ...]]:
+        """Static (corner_index - corner0_index) mod size for the 2^D
+        corners, or None if this level hashes (offsets not affine then).
+        Affine levels: idx(corner c) = (base + sum_d bit_d(c)*stride_d)
+        % size — the identity the oct-table fast path builds on."""
+        scales, resolutions, sizes, offsets, _ = self.geometry
+        hashmap_size = sizes[level]
+        D = self.input_dim
+        stride_mult = (resolutions[level] if self.align_corners
+                       else resolutions[level] + 1)
+        stride = 1
+        strides = {}
+        for d in range(D):
+            if stride > hashmap_size:
+                break
+            strides[d] = stride
+            stride = (stride * stride_mult) & _U32
+        if self.gridtype == "hash" and stride > hashmap_size:
+            return None
+        offs = []
+        for corner in range(1 << D):
+            o = 0
+            for d in range(D):
+                if (corner >> d) & 1 and d in strides:
+                    o += strides[d]
+            offs.append(o % hashmap_size)
+        return tuple(offs)
+
     # -- forward ---------------------------------------------------------------
 
     def __call__(self, embeddings: jax.Array, inputs: jax.Array,
@@ -269,8 +375,14 @@ class GridEncoderSpec:
 
         xT = x01.T  # [D, B]
 
+        corner_offs = tuple(self._corner_offsets(lvl)
+                            for lvl in range(self.num_levels))
+        use_oct = (not self.differentiable_inputs
+                   and all(o is not None for o in corner_offs))
+
         outs = []      # differentiable_inputs path: L entries of [B, C]
         idx_levels = []  # fast path: [2^D, B] per level (offsets included)
+        base_levels = []  # oct path: [B] local corner-0 row per level
         w_levels = []
         for lvl in range(self.num_levels):
             scale = scales[lvl]
@@ -280,8 +392,8 @@ class GridEncoderSpec:
             pos_grid = pos_grid.astype(jnp.uint32)
 
             index_fn = self._corner_index_fn(lvl)
-            idx_corners = []   # [B] each
             w_corners = []     # [B] each
+            idx_corners = []
             for corner in range(n_corners):
                 w = jnp.ones_like(frac[0])
                 cc = []
@@ -292,10 +404,17 @@ class GridEncoderSpec:
                     else:
                         w = w * (1.0 - frac[d])
                         cc.append(pos_grid[d])
-                idx_corners.append(index_fn(jnp.stack(cc, axis=-1)))
+                if not use_oct or corner == 0:
+                    idx_corners.append(index_fn(jnp.stack(cc, axis=-1)))
                 w_corners.append(w)
-            idx8 = jnp.stack(idx_corners)            # [2^D, B]
             w8 = jnp.stack(w_corners)                # [2^D, B]
+            if use_oct:
+                # LOCAL corner-0 row; the other 7 corners ride in the oct
+                # table's static roll layout (_make_encode_levels_oct)
+                base_levels.append(idx_corners[0] - offsets[lvl])
+                w_levels.append(w8)
+                continue
+            idx8 = jnp.stack(idx_corners)            # [2^D, B]
             # ROW gather of [T, C] (TPU: ~5-10x faster than 1-D takes;
             # measured 990ms -> 197ms for 16 levels at B=524k)
             if self.differentiable_inputs:
@@ -308,6 +427,12 @@ class GridEncoderSpec:
 
         if self.differentiable_inputs:
             out = jnp.concatenate(outs, axis=-1)     # [B, L*C]
+        elif use_oct:
+            encode = _make_encode_levels_oct(tuple(sizes), tuple(offsets),
+                                             corner_offs)
+            out = encode(embeddings, jnp.stack(base_levels),
+                         jnp.stack(w_levels))        # [B, L, C]
+            out = out.reshape(out.shape[0], -1)
         else:
             encode = _make_encode_levels(tuple(sizes), tuple(offsets))
             out = encode(embeddings, jnp.stack(idx_levels),

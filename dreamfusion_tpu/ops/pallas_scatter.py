@@ -120,3 +120,89 @@ def matmul_scatter_add(local_idx: jax.Array, u0: jax.Array, u1: jax.Array,
       u0.reshape(n_chunks, 8, _SUB), u1.reshape(n_chunks, 8, _SUB))
 
     return out.reshape(R_pad * _FINE, 2)[:table_size]
+
+
+# ---------------------------------------------------------------------------
+# wide-row variant: scatter [J] row indices with [C_ROW]-wide updates
+# (C_ROW=16 serves the oct-table encoder backward: 8 corners x 2 channels
+# folded into one row per SAMPLE instead of one per (corner, sample) —
+# 8x fewer row-updates than the per-corner scatter above)
+# ---------------------------------------------------------------------------
+
+_FINE_W = 8          # 8 fine slots * 16 row channels = 128 output lanes
+_C_ROW = 16
+
+
+def _scatter_kernel_wide(coarse_ref, fine_ref, u_ref, out_ref):
+    """u_ref block [1, 8, C_ROW, _SUB]: per sub-chunk s, updates arrive as
+    C_ROW lane-major vectors. One [R, _SUB] @ [_SUB, 128] matmul per
+    sub-chunk accumulates into the [R, 8*C_ROW] output."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    R = out_ref.shape[0]
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, _SUB), 0)
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _FINE_W * _C_ROW), 1)
+    fine_of_j = jcol // _C_ROW
+    c_of_j = jcol % _C_ROW
+    for s in range(8):
+        coarse = coarse_ref[0, s]       # [_SUB] i32 (padded entries = -1)
+        fine = fine_ref[0, s]           # [_SUB] i32
+        a = (rows == coarse[None, :]).astype(jnp.bfloat16)       # [R, _SUB]
+        fmask = fine[:, None] == fine_of_j                       # [_SUB, 128]
+        uval = jnp.zeros((_SUB, _FINE_W * _C_ROW), jnp.float32)
+        for c in range(_C_ROW):
+            uval = jnp.where(c_of_j == c, u_ref[0, s, c][:, None], uval)
+        b = jnp.where(fmask, uval, 0.0).astype(jnp.bfloat16)     # [_SUB, 128]
+        acc += jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    out_ref[:] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("table_size", "interpret"))
+def matmul_scatter_add_wide(local_idx: jax.Array, upd_cm: jax.Array,
+                            table_size: int,
+                            interpret: bool = False) -> jax.Array:
+    """d = zeros([table_size, 16]).at[local_idx].add(upd_cm.T) as a dense
+    MXU matmul. local_idx: [J] int32 in [0, table_size); upd_cm: [16, J]
+    f32 (channel-major — lane-friendly, no trailing-16 padding on the
+    host side). Returns [table_size, 16] f32."""
+    J = local_idx.shape[0]
+    n_chunks = -(-J // _CHUNK)
+    pad = n_chunks * _CHUNK - J
+    if pad:
+        local_idx = jnp.pad(local_idx, (0, pad), constant_values=-1)
+        upd_cm = jnp.pad(upd_cm, ((0, 0), (0, pad)))
+
+    coarse = jnp.where(local_idx < 0, -1, local_idx // _FINE_W)
+    fine = local_idx % _FINE_W
+    R = -(-table_size // _FINE_W)
+    R_pad = -(-R // 8) * 8
+
+    # [16, J] -> [n, 8, 16, _SUB]
+    u4 = upd_cm.reshape(_C_ROW, n_chunks, 8, _SUB).transpose(1, 2, 0, 3)
+
+    out = pl.pallas_call(
+        _scatter_kernel_wide,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 8, _SUB), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, _SUB), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, _C_ROW, _SUB), lambda j: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R_pad, _FINE_W * _C_ROW), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R_pad, _FINE_W * _C_ROW),
+                                       jnp.float32),
+        interpret=interpret,
+    )(coarse.reshape(n_chunks, 8, _SUB), fine.reshape(n_chunks, 8, _SUB),
+      u4)
+
+    return out.reshape(R_pad * _FINE_W, _C_ROW)[:table_size]

@@ -168,3 +168,68 @@ def test_bf16_table_gather_close_to_f32_with_grads():
     num = float(jnp.linalg.norm((e16 - e32).ravel()))
     den = float(jnp.linalg.norm(e32.ravel()))
     assert num / den < 0.04, num / den
+
+
+def test_oct_path_matches_legacy_corner_gathers():
+    """The oct-table fast path (one gather per level + static rolls) must
+    equal the legacy 8-corner-gather path in outputs AND table grads —
+    tiled levels are affine-mod so the layouts are mathematically
+    identical."""
+    from dreamfusion_tpu.ops import grid_encoder as ge
+
+    spec = ge.GridEncoderSpec(num_levels=6, level_dim=2, base_resolution=8,
+                              per_level_scale=1.6, log2_hashmap_size=11,
+                              gridtype="tiled")
+    key = jax.random.PRNGKey(3)
+    emb = spec.init(key) * 1000.0     # realistic magnitudes
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (257, 3),
+                           minval=-1, maxval=1)
+    cot = jax.random.normal(jax.random.fold_in(key, 2),
+                            (257, spec.output_dim))
+
+    assert all(spec._corner_offsets(l) is not None
+               for l in range(spec.num_levels))
+
+    def run(force_legacy):
+        if force_legacy:
+            s = ge.GridEncoderSpec(**{**spec.__dict__,
+                                      "differentiable_inputs": True})
+        else:
+            s = spec
+        def loss(e):
+            return jnp.sum(s(e, x) * cot)
+        return jax.value_and_grad(loss)(emb)
+
+    v_oct, g_oct = run(False)
+    v_leg, g_leg = run(True)
+    np.testing.assert_allclose(float(v_oct), float(v_leg), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_oct), np.asarray(g_leg),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_oct_backward_pallas_interpret_matches_xla():
+    """Oct backward through the wide matmul-scatter kernel (interpret mode)
+    vs the XLA .at[].add fallback."""
+    from dreamfusion_tpu.ops import grid_encoder as ge
+
+    spec = ge.GridEncoderSpec(num_levels=4, level_dim=2, base_resolution=8,
+                              per_level_scale=1.5, log2_hashmap_size=10,
+                              gridtype="tiled")
+    key = jax.random.PRNGKey(4)
+    emb = spec.init(key) * 1000.0
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (130, 3),
+                           minval=-1, maxval=1)
+
+    def grad_with(impl):
+        old = ge.SCATTER_IMPL
+        ge.SCATTER_IMPL = impl
+        try:
+            g = jax.grad(lambda e: jnp.sum(spec(e, x) ** 2))(emb)
+        finally:
+            ge.SCATTER_IMPL = old
+        return np.asarray(g)
+
+    g_xla = grad_with("xla")
+    g_pl = grad_with("interpret")
+    scale = max(np.abs(g_xla).max(), 1e-6)
+    np.testing.assert_allclose(g_pl / scale, g_xla / scale, atol=2e-2)

@@ -77,3 +77,25 @@ def test_encoder_bwd_pallas_matches_xla():
                                np.asarray(g_xla) / scale, atol=2e-2)
     # and the pallas path must actually produce nonzero gradients
     assert float(jnp.abs(g_pl).max()) > 0
+
+
+def test_matmul_scatter_add_wide_matches_oracle():
+    """Wide-row (16-channel) scatter vs a numpy .at[].add oracle, with
+    duplicate indices and a padded tail."""
+    from dreamfusion_tpu.ops.pallas_scatter import matmul_scatter_add_wide
+
+    rng = np.random.RandomState(0)
+    J, T = 5000, 1000
+    idx = rng.randint(0, T, size=J).astype(np.int32)
+    upd = rng.randn(16, J).astype(np.float32)
+
+    got = matmul_scatter_add_wide(jnp.asarray(idx), jnp.asarray(upd), T,
+                                  interpret=True)
+    want = np.zeros((T, 16), np.float32)
+    np.add.at(want, idx, upd.T)
+    # updates round to bf16 before the MXU accumulate (same as the C=2
+    # kernel and the reference's fp16 atomics): tolerance scaled to the
+    # update magnitude
+    scale = np.abs(upd).max()
+    np.testing.assert_allclose(np.asarray(got) / scale, want / scale,
+                               atol=2e-2)
