@@ -86,13 +86,20 @@ def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
         w_all [L, 2^D, B]. Returns [B, L, C]."""
         L = base_all.shape[0]
         C = emb.shape[-1]
+        n_c = len(corner_offs[0])
         outs = []
         for lvl in range(L):
             oct = _oct_table(emb, lvl)                       # [size, 8C]
             vals = jnp.take(oct, base_all[lvl], axis=0)      # [B, 8C]
-            v = vals.reshape(vals.shape[0], -1, C)           # [B, 8, C]
-            outs.append(jnp.einsum("cb,bcj->bj", w_all[lvl],
-                                   v.astype(jnp.float32)))
+            # blend WITHOUT reshaping [B, 8C] -> [B, 8, C]: strided lane
+            # slices keep the gather->reduce fusible (the reshape forced a
+            # 268 MB/level padded materialization -> OOM at train shapes)
+            chans = []
+            for j in range(C):
+                vj = jax.lax.slice(vals, (0, j), (vals.shape[0], n_c * C),
+                                   (1, C)).astype(jnp.float32)  # [B, 8]
+                chans.append(jnp.einsum("bc,cb->b", vj, w_all[lvl]))
+            outs.append(jnp.stack(chans, axis=-1))           # [B, C]
         return jnp.stack(outs, axis=1)                       # [B, L, C]
 
     def _oct_table(emb, lvl):
