@@ -293,19 +293,27 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             bg_cache[with_bg] = bg_only
         return bg_cache[with_bg]
 
-    # -- exact counting pass (v4) ----------------------------------------------
-    # One jitted pass probes the uniform lattice (stride 1, no compaction)
-    # -> EXACT per-ray emit counts (identical to march counts by
-    # construction), ~3x cheaper than marching since nothing is carried or
-    # compacted. Rays sort by count; group max counts come back in ONE
-    # transfer, so every tail group's K bucket is known before it is
-    # marched. v3's dilated stride-4 estimate was tried first: it flagged
-    # 50% of frame rays vs 7% truly nonzero on a young grid, and the
-    # false positives forced K=128 shading on whole segments.
-    # dt_gamma>0 keeps the march-everything fallback.
-    from dreamfusion_tpu.ops.marching import coarse_hit_counts
+    # -- counting pass (v4.1) --------------------------------------------------
+    # One jitted pass probes the lattice (no compaction) to classify rays
+    # and bound their sample counts; rays sort by count, and every sorted
+    # group's max comes back in ONE transfer, so each tail group's K
+    # bucket is known before it is marched. Probe stride: for the single-
+    # cascade lattice the 3^3-DILATED grid at stride 2 is sound for
+    # zero-classification (profiling: the stride-1 pass was 70% of an eval
+    # frame), and each hit probe covers at most stride+1 fine lattice
+    # points, so (stride+1)*count upper-bounds the exact count — buckets
+    # picked from that bound can only be too roomy, never truncating.
+    # (stride-4 was tried first: on a young grid its dilation flagged 50%
+    # of rays vs 7% truly nonzero; stride 2 halves the probe cost for a
+    # much smaller overestimate.) C>1 uses exact stride-1 probes of the
+    # raw grid; dt_gamma>0 keeps the march-everything fallback.
+    from dreamfusion_tpu.ops.marching import (coarse_hit_counts, dilate_occ,
+                                              max_coarse_stride)
 
     coarse_ok = cfg.dt_gamma == 0.0
+    stride = min(2, max_coarse_stride(cfg.max_steps, cfg.grid_size)) \
+        if cfg.cascade == 1 else 1
+    count_factor = (stride + 1) if stride > 1 else 1
 
     @jax.jit
     def count_sort(occ, o, d):
@@ -315,8 +323,9 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                 [o, jnp.zeros((pad, 3))], 0)
             d = jnp.concatenate([d, jnp.ones((pad, 3)) / 3 ** 0.5], 0)
         nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
-        counts = coarse_hit_counts(occ, o, d, nears, fars, bound=cfg.bound,
-                                   max_steps=cfg.max_steps, stride=1)
+        grid = dilate_occ(occ) if stride > 1 else occ
+        counts = coarse_hit_counts(grid, o, d, nears, fars, bound=cfg.bound,
+                                   max_steps=cfg.max_steps, stride=stride)
         perm = jnp.argsort(counts)                 # ascending: bg first
         take = lambda x: jnp.take(x, perm, axis=0)
         counts_s = take(counts)
@@ -378,7 +387,7 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             o_g = jax.lax.dynamic_slice_in_dim(o_s, start, group, 0)
             d_g = jax.lax.dynamic_slice_in_dim(d_s, start, group, 0)
             m, nears_g, fars_g = march_chunk(grid_state.occ, o_g, d_g)
-            Kb = _pick_K_bucket(float(maxc), cfg.grid_K)
+            Kb = _pick_K_bucket(float(maxc * count_factor), cfg.grid_K)
             out = get_shade(Kb, with_bg)(
                 params, m.ts, m.dts, m.valid, o_g, d_g, nears_g, fars_g,
                 shading_code, ambient_ratio, light_d, bg)

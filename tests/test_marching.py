@@ -312,3 +312,30 @@ def test_coarse_pass_soundness():
     assert not np.any((c == 0) & (e > 0)), np.where((c == 0) & (e > 0))
     # usefulness: the coarse pass actually classifies most empty rays
     assert np.mean(c[e == 0] == 0) > 0.5
+
+
+def test_coarse_count_upper_bound():
+    """exact march count <= (stride+1) * dilated coarse count: each hit
+    probe covers at most stride+1 fine lattice points — the bound the
+    staged eval's bucket picker relies on to never truncate."""
+    from dreamfusion_tpu.ops.marching import (coarse_hit_counts, dilate_occ,
+                                              march_rays)
+
+    H, S, stride = 32, 128, 2
+    rng = np.random.RandomState(11)
+    occ = jnp.asarray(rng.rand(1, H, H, H) < 0.01)
+    o = jnp.asarray(np.tile([[0.0, 0.0, -2.5]], (256, 1)), jnp.float32)
+    d = rng.normal(size=(256, 3))
+    d[:, 2] = np.abs(d[:, 2]) + 0.5
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                    jnp.float32)
+    aabb = jnp.array([-1.0, -1, -1, 1, 1, 1])
+    nears, fars = near_far_from_aabb(o, d, aabb, 0.1)
+
+    coarse = np.asarray(coarse_hit_counts(
+        dilate_occ(occ), o, d, nears, fars, bound=1.0, max_steps=S,
+        stride=stride))
+    exact = np.asarray(march_rays(None, occ, o, d, nears, fars, bound=1.0,
+                                  max_steps=S, K=128).counts)
+    assert np.all(exact <= (stride + 1) * coarse), \
+        (exact - (stride + 1) * coarse).max()
