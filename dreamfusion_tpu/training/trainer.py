@@ -271,6 +271,7 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         return shade_cache[(Kb, with_bg)]
 
     bg_cache: Dict[bool, Any] = {}
+    _warmed: set = set()
 
     def get_bg_only(with_bg: bool):
         """count==0 groups: image = background directly, weights_sum = 0,
@@ -365,6 +366,22 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             return _render_full(params, rays_o, rays_d, grid_state,
                                 shading_code, ambient_ratio, bg, with_bg,
                                 light_d, N, Np)
+
+        if with_bg not in _warmed:
+            # compile every shade bucket up front (dummy group-shaped
+            # inputs): a fresh pose mid-sequence must never hit a bucket
+            # whose multi-minute remote compile poisons that frame
+            _warmed.add(with_bg)
+            zg = jnp.zeros((group, 3))
+            zk = jnp.zeros((group, cfg.grid_K))
+            zv = jnp.zeros((group, cfg.grid_K), bool)
+            z1 = jnp.zeros((group,))
+            Kb_ladder = {_pick_K_bucket(float(b), cfg.grid_K)
+                         for b in (16, 32, 48, 64, 96, 128, 192, 256)}
+            for Kb in sorted(Kb_ladder):
+                get_shade(Kb, with_bg)(params, zk, zk, zv, zg, zg, z1, z1,
+                                       shading_code, ambient_ratio,
+                                       light_d, bg)
 
         # 1. one-dispatch exact count + sort (bg rays first); ONE transfer
         # brings every group's max count
