@@ -455,7 +455,7 @@ def render_grid(
     perturb: bool = False,
     T_thresh: float = 1e-4,
     compute_normal_losses: bool = False,
-    pallas_composite: bool = False,
+    pallas_composite: Optional[bool] = None,
 ) -> Dict[str, jax.Array]:
     N = rays_o.shape[0]
     aabb = jnp.array([-bound] * 3 + [bound] * 3, jnp.float32)
@@ -496,7 +496,7 @@ def shade_march(
     bg_color: Optional[jax.Array] = None,
     T_thresh: float = 1e-4,
     compute_normal_losses: bool = False,
-    pallas_composite: bool = False,
+    pallas_composite: Optional[bool] = None,
     k_smooth: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Field query + compositing over pre-marched samples. Split out of
@@ -519,6 +519,10 @@ def shade_march(
     color = color.reshape(N, K, 3)
     dts = march.dts * march.valid
 
+    if pallas_composite is None:
+        # auto: the fused kernel wins (narrowly) on TPU; off-TPU the
+        # interpret-mode kernel would be ~10x slower than the jnp path
+        pallas_composite = jax.default_backend() == "tpu"
     if pallas_composite:
         # fused VMEM compositor with analytic VJP (ops/pallas_composite.py);
         # interpret mode keeps CPU tests running, compiled path on TPU.
