@@ -118,6 +118,8 @@ def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
         L = base_all.shape[0]
         C = emb.shape[-1]
         pallas = _use_pallas_scatter(C)
+        if len(corner_offs[0]) * C != 16:
+            pallas = None          # wide kernel is 8 corners x C=2 = 16 lanes
         parts = []
         for lvl in range(L):
             size = sizes[lvl]
