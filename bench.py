@@ -1,4 +1,5 @@
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints JSON lines; the LAST complete line is the
+result of record (every line printed is a complete, valid result object).
 
 Metric of record (BASELINE.md / BASELINE.json): SDS training iterations per
 second for the full `-O` pipeline — grid backbone + occupancy-grid renderer
@@ -8,21 +9,99 @@ Reference baseline: 10k steps in ~3 h on V100 (readme.md:20) = 0.926 it/s.
 
 Drives the REAL product path (Trainer.train), so occupancy-grid refreshes
 (full + partial phases) and the adaptive sample budget are included in the
-measurement. Secondary metrics ride along in the same JSON object:
-eval rays/sec at 512^2 and the 800^2 full-frame FPS (readme.md:21: ~10 FPS
-on V100).
+measurement. Secondary metrics ride along in the later, richer JSON lines:
+a compiled-Pallas-vs-XLA-oracle check, eval rays/sec at 512^2 and the 800^2
+full-frame FPS (readme.md:21: ~10 FPS on V100).
+
+Robustness contract (learned from round 2, where the driver's timeout killed
+the run before any output): the train it/s line is printed + flushed the
+moment the train window closes — before any eval work; a persistent
+compilation cache makes reruns skip the multi-minute remote compiles; an
+internal --deadline gates each eval stage so the process always finishes on
+its own terms.
 """
 
 import argparse
 import json
+import os
 import shutil
+import sys
 import time
+
+t_start = time.monotonic()
 
 import jax
 import jax.numpy as jnp
 
 REFERENCE_ITERS_PER_SEC = 10000 / (3 * 3600)  # readme.md:20
 REFERENCE_EVAL_FPS = 10.0                     # readme.md:21, 800x800
+
+
+def emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def enable_compile_cache(path):
+    """Persistent compilation cache: a rerun (e.g. the driver's bench after
+    this session already compiled everything) skips the 15-400 s remote
+    compiles entirely."""
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        try:
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        except Exception:
+            pass
+        return True
+    except Exception as e:  # cache unsupported on this backend: not fatal
+        print(f"# compile cache disabled: {e}", file=sys.stderr)
+        return False
+
+
+def pallas_check():
+    """Run both production Pallas kernels COMPILED on the current backend
+    against their XLA/jnp oracles (VERDICT r2: interpret-mode CI can't pin
+    compiled behavior; this pins it per bench run)."""
+    try:
+        from dreamfusion_tpu.ops.pallas_scatter import matmul_scatter_add
+        from dreamfusion_tpu.ops.pallas_composite import composite_fused
+        from dreamfusion_tpu.ops.composite import composite
+        import numpy as np
+
+        interp = jax.default_backend() != "tpu"
+        k = jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(k, 3)
+        J, T = 4096, 4920
+        idx = jax.random.randint(k1, (J,), 0, T, dtype=jnp.int32)
+        u0 = jax.random.normal(k2, (J,))
+        u1 = jax.random.normal(k3, (J,))
+        got = matmul_scatter_add(idx, u0, u1, T, interpret=interp)
+        oracle = jnp.zeros((T, 2)).at[idx].add(jnp.stack([u0, u1], -1))
+        scale = float(jnp.max(jnp.abs(oracle))) + 1e-9
+        scatter_ok = bool(np.allclose(np.asarray(got) / scale,
+                                      np.asarray(oracle) / scale, atol=2e-2))
+
+        ka, kb, kc, kd = jax.random.split(jax.random.PRNGKey(1), 4)
+        N, K = 64, 64
+        sigmas = jax.random.uniform(ka, (N, K)) * 20.0
+        rgbs = jax.random.uniform(kb, (N, K, 3))
+        deltas = jax.random.uniform(kc, (N, K)) * 0.05 + 0.01
+        ts = jnp.cumsum(deltas, -1) + jax.random.uniform(kd, (N, 1))
+        ws, depth, rgb = composite_fused(sigmas, rgbs, deltas, ts, interp)
+        ref = composite(sigmas, rgbs, deltas, ts=ts)
+        comp_ok = bool(
+            np.allclose(np.asarray(rgb), np.asarray(ref.rgb),
+                        rtol=1e-4, atol=1e-5)
+            and np.allclose(np.asarray(ws), np.asarray(ref.weights_sum),
+                            rtol=1e-4, atol=1e-5))
+        mode = "interpret" if interp else "compiled"
+        if scatter_ok and comp_ok:
+            return f"ok ({mode})"
+        return (f"MISMATCH ({mode}): scatter={'ok' if scatter_ok else 'BAD'} "
+                f"composite={'ok' if comp_ok else 'BAD'}")
+    except Exception as e:
+        return f"error: {type(e).__name__}: {e}"
 
 
 def main():
@@ -34,21 +113,52 @@ def main():
     ap.add_argument("--warmup", type=int, default=70)
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--skip_eval", action="store_true")
+    ap.add_argument("--deadline", type=float, default=960.0,
+                    help="soft wall-clock budget (s); each optional stage "
+                         "(pallas check, 512^2 eval, 800^2 eval) is skipped "
+                         "when its estimated cost exceeds the remainder")
+    ap.add_argument("--cache_dir", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     ap.add_argument("--profile", default=None,
                     help="capture a jax.profiler trace of the measured "
                          "steps into this dir")
+    ap.add_argument("--tiny", action="store_true",
+                    help="shrunken config for CI smoke coverage of this "
+                         "script (tests/test_bench_smoke.py); numbers are "
+                         "meaningless. Uses guidance=none so the train-step "
+                         "compile stays CI-fast; --tiny_sd adds a nano SDS "
+                         "UNet/VAE to the loss instead")
+    ap.add_argument("--tiny_sd", action="store_true")
     args, _ = ap.parse_known_args()
+
+    def remaining():
+        return args.deadline - (time.monotonic() - t_start)
+
+    enable_compile_cache(args.cache_dir)
 
     from dreamfusion_tpu.config import Config
     from dreamfusion_tpu.training.trainer import Trainer
 
-    ws = "/tmp/bench_ws"
-    shutil.rmtree(ws, ignore_errors=True)
+    ws = f"/tmp/bench_ws_{os.getpid()}"   # pid-scoped: concurrent bench
+    shutil.rmtree(ws, ignore_errors=True)  # runs must not share a workspace
+    shape = dict(h=64, w=64, max_steps=512, grid_K=128, grid_size=128)
+    guidance = "stable-diffusion"
+    if args.tiny or args.tiny_sd:
+        shape = dict(h=16, w=16, max_steps=64, grid_K=24, grid_size=16,
+                     num_steps=16, upsample_steps=16)
+        args.sd_weights = "random-nano"
+        if not args.tiny_sd:
+            guidance = "none"      # SDS-in-step costs minutes of XLA CPU
+                                   # compile; the CI-fast smoke skips it
     cfg = Config(text="a DSLR photo of a hamburger",
-                 guidance="stable-diffusion", sd_weights=args.sd_weights,
-                 backbone="grid", grid_ray=True, h=64, w=64, iters=10000,
-                 dir_text=True, fp16=True, max_steps=512, grid_K=128,
-                 lambda_orient=0.0, workspace=ws).finalize()
+                 guidance=guidance, sd_weights=args.sd_weights,
+                 backbone="grid", grid_ray=True, iters=10000,
+                 dir_text=True, fp16=True,
+                 lambda_orient=0.0, workspace=ws,
+                 # trimmed first-frame warm ladder: two buckets cover the
+                 # bench orbit poses; anything else compiles on demand (and
+                 # lands in the persistent cache for the next run)
+                 eval_warm_buckets=(48, 128), **shape).finalize()
     trainer = Trainer("bench", cfg, use_checkpoint="scratch")
 
     # warmup: compiles the step (default K), grid refresh, adaptive-K switch
@@ -81,23 +191,41 @@ def main():
         "unit": "it/s",
         "vs_baseline": round(it_per_sec / REFERENCE_ITERS_PER_SEC, 3),
     }
+    # the existence proof: flushed BEFORE any optional stage can stall
+    emit(result)
+
+    if remaining() > 60:
+        result["pallas_check"] = pallas_check()
+        emit(result)
 
     if not args.skip_eval:
-        # eval path: rays/sec at 512^2 and full-frame 800^2 FPS
-        for H, tag in ((512, "eval_rays_per_sec_512"), (800, "eval_fps_800")):
-            for w in (0, 1):   # two warm frames: different poses can pick
-                out = trainer._render_orbit_frame(w, 100, H, H)  # new K buckets
-                _ = float(jnp.sum(out["image"]))
-            t0 = time.perf_counter()
-            for f in (2, 3):
-                out = trainer._render_orbit_frame(f, 100, H, H)
-                _ = float(jnp.sum(out["image"]))
-            ft = (time.perf_counter() - t0) / 2
-            result[tag] = round(H * H / ft if "rays" in tag else 1.0 / ft, 3)
-        result["eval_fps_800_vs_baseline"] = round(
-            result["eval_fps_800"] / REFERENCE_EVAL_FPS, 3)
+        # eval path: rays/sec at 512^2, then full-frame 800^2 FPS. Each
+        # stage budget-gated: a cold 512^2 ladder can cost most of the
+        # deadline in remote compiles; 800^2 only runs with room to spare.
+        for H, tag, need in ((512, "eval_rays_per_sec_512", 120),
+                             (800, "eval_fps_800", 180)):
+            if remaining() < need:
+                result[f"{tag}_skipped"] = "deadline"
+                continue
+            try:
+                for w in (0, 1):   # two warm frames: different poses can
+                    out = trainer._render_orbit_frame(w, 100, H, H)
+                    _ = float(jnp.sum(out["image"]))  # pick new K buckets
+                t0 = time.perf_counter()
+                for f in (2, 3):
+                    out = trainer._render_orbit_frame(f, 100, H, H)
+                    _ = float(jnp.sum(out["image"]))
+                ft = (time.perf_counter() - t0) / 2
+                result[tag] = round(
+                    H * H / ft if "rays" in tag else 1.0 / ft, 3)
+                emit(result)
+            except Exception as e:
+                result[f"{tag}_error"] = f"{type(e).__name__}: {e}"
+        if "eval_fps_800" in result:
+            result["eval_fps_800_vs_baseline"] = round(
+                result["eval_fps_800"] / REFERENCE_EVAL_FPS, 3)
 
-    print(json.dumps(result))
+    emit(result)
 
 
 def _sync(trainer):
