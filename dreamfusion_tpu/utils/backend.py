@@ -153,10 +153,21 @@ class KubernetesBackend(LocalBackend):
 
         pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
+        def yaml_safe(v):
+            # raw values round-trip through yaml (so the job receives 0.001
+            # as a float, matching LocalBackend's pickle and the reference's
+            # raw yaml.dump, kubernetes_backend.py:59-64); only values yaml
+            # can't represent fall back to repr
+            try:
+                yaml.safe_dump(v)
+                return v
+            except yaml.YAMLError:
+                return repr(v)
+
         with open(os.path.join(job_dir, "kube_job_parameters.yaml"),
                   "w") as f:
             yaml.safe_dump({"function_path": function_path,
-                            "params": {k: repr(v)
+                            "params": {k: yaml_safe(v)
                                        for k, v in params.items()}}, f)
         mod, fn = function_path.split(":")
         command = (f"python -c 'import {mod}; from dreamfusion_tpu.utils "

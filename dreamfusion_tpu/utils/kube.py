@@ -94,6 +94,7 @@ class KubeRunner:
     poll_interval: float = 1.0
     ready_timeout: float = 600.0
     calls: List[List[str]] = field(default_factory=list)   # for inspection
+    last_exec_rc: Optional[int] = None   # returncode of the last exec_stream
 
     # -- kubectl plumbing --------------------------------------------------------
     def _run(self, *args: str, input_text: Optional[str] = None,
@@ -155,6 +156,7 @@ class KubeRunner:
             if not line.startswith("Global seed set to"):
                 self._log(line)
         proc.wait()
+        self.last_exec_rc = proc.returncode
         if failure is None and proc.returncode not in (0, None):
             self._log(f"job exec exited rc={proc.returncode}")
         return failure
@@ -163,8 +165,10 @@ class KubeRunner:
         """Copy a result file back out of the pod (reference :11-13)."""
         dst = os.path.join(dst_dir, relpath)
         os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        # check=False: a job may legitimately produce no job_info.json;
+        # the caller's os.path.exists guard decides what that means
         self._run("cp", f"{self.namespace}/{pod}:/job/job_source/{relpath}",
-                  dst)
+                  dst, check=False)
         return dst
 
     def delete_deployment(self, name: str):
@@ -185,6 +189,13 @@ class KubeRunner:
                      f"/job/job_source && cd /job/job_source && {command}")
             if failure is not None:
                 return failure
+            if self.last_exec_rc not in (0, None):
+                # non-zero exit without a retryable signature: a genuine job
+                # failure — do NOT retry it on another node, and do NOT
+                # treat it as success (it usually has no job_info.json)
+                raise RuntimeError(
+                    f"job {job_id} command exited rc={self.last_exec_rc} "
+                    f"with no retryable infra signature")
             # collect results: job_info.json {params, results, artifacts,
             # tensorboard_path} (reference uses job_info.pkl, :106-121)
             info_path = self.fetch(pod, "job_info.json", workdir)

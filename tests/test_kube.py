@@ -44,6 +44,7 @@ FAKE_KUBECTL = textwrap.dedent("""\
         if [[ "$4" == mkdir ]]; then exit 0; fi
         cat "$FAKE_DIR/scenario_$(cat "$FAKE_DIR/attempt")".log
         echo $(( $(cat "$FAKE_DIR/attempt") + 1 )) > "$FAKE_DIR/attempt"
+        if [[ -f "$FAKE_DIR/exec_rc" ]]; then exit "$(cat "$FAKE_DIR/exec_rc")"; fi
         ;;
       delete) echo deleted ;;
     esac
@@ -193,3 +194,70 @@ def test_backend_submit_uses_runner(fake_kubectl, tmp_path, monkeypatch):
     assert rc == 0
     calls = (fake_dir / "calls.log").read_text()
     assert "apply -f -" in calls and "delete deployment" in calls
+
+
+def test_nonzero_exit_without_signature_fails_without_retry(
+        fake_kubectl, tmp_path):
+    """A job that exits non-zero with clean logs is a genuine failure:
+    run_job must raise (not fetch-and-crash, not silently succeed), the
+    retry loop must NOT re-run it, and submit must return rc=1."""
+    kubectl, fake_dir = fake_kubectl
+    (fake_dir / "scenario_0.log").write_text("Traceback: ValueError\n")
+    (fake_dir / "exec_rc").write_text("3")
+    be = RecordingBackend()
+    runner = KubeRunner(namespace="ns", kubectl=kubectl, backend=be,
+                        poll_interval=0.01, ready_timeout=5)
+    m = make_deployment_manifest("tjob", image="img", namespace="ns")
+    with pytest.raises(RuntimeError, match="rc=3"):
+        submit_kube_job("tjob", m, runner=runner,
+                        job_directory=str(tmp_path),
+                        command="python train.py", workdir=str(tmp_path),
+                        max_retries=3, retry_sleep=0.01)
+    calls = (fake_dir / "calls.log").read_text()
+    assert calls.count("delete deployment tjob-deployment") == 1  # no retry
+    assert be.metrics == {}                    # nothing fetched as success
+
+
+def test_backend_submit_returns_1_on_plain_job_failure(
+        fake_kubectl, tmp_path, monkeypatch):
+    kubectl, fake_dir = fake_kubectl
+    (fake_dir / "scenario_0.log").write_text("boom\n")
+    (fake_dir / "exec_rc").write_text("2")
+    monkeypatch.setenv("DFTPU_KUBECTL", kubectl)
+    monkeypatch.setenv("DFTPU_KUBE_NAMESPACE", "ns")
+    monkeypatch.chdir(tmp_path)
+    from dreamfusion_tpu.utils.backend import KubernetesBackend
+
+    be = KubernetesBackend(root=str(tmp_path / "jobs"))
+    rc = be.submit("dreamfusion_tpu.utils.backend:_test_job_entry",
+                   {"x": 21})
+    assert rc == 1
+
+
+def test_kube_params_yaml_roundtrips_scalar_types(fake_kubectl, tmp_path,
+                                                  monkeypatch):
+    """Kube jobs must receive the same typed params a local pickle delivers:
+    0.001 stays a float through the yaml file (reference ships raw yaml,
+    kubernetes_backend.py:59-64)."""
+    import glob
+
+    kubectl, fake_dir = fake_kubectl
+    (fake_dir / "scenario_0.log").write_text("trained\n")
+    monkeypatch.setenv("DFTPU_KUBECTL", kubectl)
+    monkeypatch.setenv("DFTPU_KUBE_NAMESPACE", "ns")
+    monkeypatch.chdir(tmp_path)
+    from dreamfusion_tpu.utils.backend import KubernetesBackend, LocalBackend
+
+    be = KubernetesBackend(root=str(tmp_path / "jobs"))
+    rc = be.submit("dreamfusion_tpu.utils.backend:_test_job_entry",
+                   {"lr": 0.001, "steps": 10, "name": "run-a",
+                    "weird": object()})
+    assert rc == 0
+    [pfile] = glob.glob(str(tmp_path / "jobs" / "*" /
+                            "kube_job_parameters.yaml"))
+    monkeypatch.setenv("DFTPU_PARAMS_FILE", pfile)
+    got = LocalBackend.load_parameters()
+    assert got["lr"] == 0.001 and isinstance(got["lr"], float)
+    assert got["steps"] == 10 and isinstance(got["steps"], int)
+    assert got["name"] == "run-a"
+    assert isinstance(got["weird"], str)       # repr fallback
