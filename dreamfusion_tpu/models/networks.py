@@ -171,7 +171,13 @@ class NeRFGridNetwork(_BaseNeRF):
         self.enc_spec = GridEncoderSpec(
             input_dim=3, num_levels=16, level_dim=2, base_resolution=16,
             log2_hashmap_size=16, desired_resolution=2048 * self.bound,
-            gridtype="tiled")
+            gridtype="tiled",
+            # full-precision models keep f32 scatter accumulation; only
+            # bf16-compute runs may route the backward through the bf16
+            # MXU matmul-scatter (mirrors the reference: fp16 atomics only
+            # under AMP, gridencoder.cu __half path)
+            scatter_impl=(None if self.compute_dtype == jnp.bfloat16
+                          else "xla"))
         self.embeddings = self.param(
             "embeddings",
             lambda key: self.enc_spec.init(key))

@@ -50,23 +50,29 @@ _U32 = (1 << 32) - 1
 SCATTER_IMPL = "auto"
 
 
-def _use_pallas_scatter(level_dim: int) -> Optional[bool]:
+def _use_pallas_scatter(level_dim: int,
+                        impl: Optional[str] = None) -> Optional[bool]:
     """None -> xla oracle; True -> pallas compiled; 'interpret' -> pallas
-    interpreter."""
+    interpreter. `impl` (a spec's scatter_impl) overrides the module-global
+    SCATTER_IMPL; full-precision models pass "xla" so their table gradients
+    are not silently bf16-rounded by the matmul-scatter (the reference only
+    uses fp16 atomics under AMP, gridencoder.cu __half path)."""
     if level_dim != 2:
         return None
-    if SCATTER_IMPL == "xla":
+    impl = impl or SCATTER_IMPL
+    if impl == "xla":
         return None
-    if SCATTER_IMPL == "interpret":
+    if impl == "interpret":
         return "interpret"
-    if SCATTER_IMPL == "pallas":
+    if impl == "pallas":
         return True
     return True if jax.default_backend() == "tpu" else None
 
 
 @functools.lru_cache(maxsize=None)
 def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
-                            corner_offs: Tuple[Tuple[int, ...], ...]):
+                            corner_offs: Tuple[Tuple[int, ...], ...],
+                            scatter_impl: Optional[str] = None):
     """Oct-table encode for affine-mod levels (tiled gridtype): corner c of
     a sample at base index b lives at (b + off_c) % size with off_c STATIC
     per level, so all 8 corners collapse into ONE row gather of a
@@ -117,7 +123,7 @@ def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
         emb, base_all, w_all = res                           # cot [B, L, C]
         L = base_all.shape[0]
         C = emb.shape[-1]
-        pallas = _use_pallas_scatter(C)
+        pallas = _use_pallas_scatter(C, scatter_impl)
         if len(corner_offs[0]) * C != 16:
             pallas = None          # wide kernel is 8 corners x C=2 = 16 lanes
         parts = []
@@ -152,7 +158,8 @@ def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
 
 
 @functools.lru_cache(maxsize=None)
-def _make_encode_levels(sizes: Tuple[int, ...], offsets: Tuple[int, ...]):
+def _make_encode_levels(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
+                        scatter_impl: Optional[str] = None):
     """Per-geometry gather+blend with custom VJP. The static per-level
     (size, offset) tuples let the backward emit one Pallas matmul-scatter
     per level (see ops/pallas_scatter.py).
@@ -197,7 +204,7 @@ def _make_encode_levels(sizes: Tuple[int, ...], offsets: Tuple[int, ...]):
         emb, idx_all, w_all = res                            # cot: [B, L, C]
         L = idx_all.shape[0]
         C = emb.shape[-1]
-        pallas = _use_pallas_scatter(C)
+        pallas = _use_pallas_scatter(C, scatter_impl)
         if pallas is None:
             d_emb = jnp.zeros(emb.shape, jnp.float32)
             for lvl in range(L):
@@ -263,6 +270,10 @@ class GridEncoderSpec:
     # (autodiff saves padded [2^D, B, C] residuals); the reference's
     # calc_grad_inputs analog, off by default like the reference's usage.
     differentiable_inputs: bool = False
+    # backward scatter choice for THIS encoder: None defers to the
+    # module-global SCATTER_IMPL; full-precision (fp16=False) models set
+    # "xla" to keep f32 accumulation (see _use_pallas_scatter)
+    scatter_impl: Optional[str] = None
 
     def __post_init__(self):
         if self.desired_resolution is not None:
@@ -438,12 +449,13 @@ class GridEncoderSpec:
             out = jnp.concatenate(outs, axis=-1)     # [B, L*C]
         elif use_oct:
             encode = _make_encode_levels_oct(tuple(sizes), tuple(offsets),
-                                             corner_offs)
+                                             corner_offs, self.scatter_impl)
             out = encode(embeddings, jnp.stack(base_levels),
                          jnp.stack(w_levels))        # [B, L, C]
             out = out.reshape(out.shape[0], -1)
         else:
-            encode = _make_encode_levels(tuple(sizes), tuple(offsets))
+            encode = _make_encode_levels(tuple(sizes), tuple(offsets),
+                                         self.scatter_impl)
             out = encode(embeddings, jnp.stack(idx_levels),
                          jnp.stack(w_levels))        # [B, L, C]
             out = out.reshape(out.shape[0], -1)

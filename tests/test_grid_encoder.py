@@ -233,3 +233,26 @@ def test_oct_backward_pallas_interpret_matches_xla():
     g_pl = grad_with("interpret")
     scale = max(np.abs(g_xla).max(), 1e-6)
     np.testing.assert_allclose(g_pl / scale, g_xla / scale, atol=2e-2)
+
+
+def test_full_precision_model_pins_xla_scatter():
+    """fp16=False models must accumulate table grads in f32 (XLA path) even
+    when the global SCATTER_IMPL would pick the bf16 matmul-scatter; bf16
+    models keep the auto choice (reference: fp16 atomics only under AMP,
+    gridencoder.cu __half path)."""
+    from dreamfusion_tpu.config import Config
+    from dreamfusion_tpu.models import build_model
+
+    cfg32 = Config(text=None, guidance="none", backbone="grid", fp16=False)
+    m32 = build_model(cfg32)
+    cfg16 = Config(text=None, guidance="none", backbone="grid", fp16=True)
+    m16 = build_model(cfg16)
+    x = jnp.zeros((4, 3))
+    d = jnp.ones((4, 3))
+
+    specs = {}
+    for name, m in (("f32", m32), ("bf16", m16)):
+        p = m.init(jax.random.PRNGKey(0), x, d, method=m.init_all)
+        specs[name] = m.apply(p, method=lambda mdl: mdl.enc_spec)
+    assert specs["f32"].scatter_impl == "xla"
+    assert specs["bf16"].scatter_impl is None
