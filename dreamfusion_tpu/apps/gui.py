@@ -236,6 +236,17 @@ class NeRFGUI(NeRFGUICore):
                     dpg.add_button(label="start", tag="_button_train",
                                    callback=callback_train)
 
+                    def callback_reset(sender, app_data):
+                        # reference gui.py:221-233: re-init all weights +
+                        # extra state (occupancy grid); JAX version re-inits
+                        # the param/opt/grid pytrees in place
+                        self.trainer.reset_weights()
+                        self.step = 0
+                        self.need_update = True
+
+                    dpg.add_button(label="reset", tag="_button_reset",
+                                   callback=callback_reset)
+
                 with dpg.group(horizontal=True):
                     dpg.add_text("Checkpoint: ")
 
@@ -358,6 +369,34 @@ class NeRFGUI(NeRFGUICore):
                                "normal"), label="shading",
                               default_value=self.shading,
                               callback=callback_change_shading)
+
+                # per-axis inference AABB (reference gui.py:319-345:
+                # mutates aabb_infer only — the train AABB is untouched)
+                b = float(cfg.bound)
+                self._aabb = list(cfg.aabb_infer) if cfg.aabb_infer \
+                    else [-b, -b, -b, b, b, b]
+
+                def callback_set_aabb(sender, app_data, user_data):
+                    self._aabb[user_data] = float(app_data)
+                    self.cfg = self.cfg.replace(aabb_infer=tuple(self._aabb))
+                    self.trainer.cfg = self.cfg
+                    self.trainer._eval_render = None   # recompile next frame
+                    self.need_update = True
+
+                dpg.add_separator()
+                dpg.add_text("Axis-aligned bounding box:")
+                for axis, name in enumerate("xyz"):
+                    with dpg.group(horizontal=True):
+                        dpg.add_slider_float(
+                            label=name, width=150, min_value=-b, max_value=0,
+                            format="%.2f", default_value=self._aabb[axis],
+                            tag=f"_aabb_min_{name}",
+                            callback=callback_set_aabb, user_data=axis)
+                        dpg.add_slider_float(
+                            label="", width=150, min_value=0, max_value=b,
+                            format="%.2f", default_value=self._aabb[axis + 3],
+                            tag=f"_aabb_max_{name}",
+                            callback=callback_set_aabb, user_data=axis + 3)
 
         def callback_camera_drag_rotate(sender, app_data):
             if not dpg.is_item_focused("_primary_window"):

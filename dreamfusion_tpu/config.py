@@ -25,6 +25,8 @@ class Config:
     workspace: str = "workspace"
     seed: int = 0
     test: bool = False                  # test mode (no training)
+    gui: bool = False                   # interactive dearpygui viewer
+                                        # (reference: main.py:64,113-115)
     save_mesh: bool = False             # export textured mesh after test
     eval_interval: int = 10             # eval every N epochs
     guidance: str = "stable-diffusion"  # 'stable-diffusion' | 'clip' | 'none'
@@ -55,6 +57,16 @@ class Config:
     # mode kernel would slow CPU runs ~10x).
     pallas_composite: Optional[bool] = None
     grid_table_bf16: bool = False       # bf16 hash-table gathers (HBM lever)
+    # staged-eval warm-up: which shade K-buckets to pre-compile on the first
+    # frame. None = full ladder (no mid-frame compile ever); a short tuple
+    # trades possible one-off mid-frame compiles for a much cheaper first
+    # frame (bench sets this — remote compiles are minutes each over the
+    # tunnel).
+    eval_warm_buckets: Optional[Tuple[int, ...]] = None
+    # eval/GUI-only AABB override (xmin,ymin,zmin,xmax,ymax,zmax); None =
+    # +-bound. The reference's aabb_infer sliders (nerf/gui.py:319-345)
+    # mutate only the inference AABB, never the train one.
+    aabb_infer: Optional[Tuple[float, ...]] = None
     grid_decay: float = 0.95            # occupancy EMA decay (renderer.py:563)
     # -- model ---------------------------------------------------------------
     backbone: str = "grid"              # 'grid' | 'vanilla' | 'dvgo'
@@ -154,6 +166,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-O2", action="store_true", help="preset: bf16 + dir_text")
     p.add_argument("--test", action="store_true")
     p.add_argument("--save_mesh", action="store_true")
+    p.add_argument("--gui", action="store_true", default=defaults.gui)
     p.add_argument("--eval_interval", type=int, default=defaults.eval_interval)
     p.add_argument("--workspace", type=str, default=defaults.workspace)
     p.add_argument("--guidance", type=str, default=defaults.guidance)

@@ -456,9 +456,13 @@ def render_grid(
     T_thresh: float = 1e-4,
     compute_normal_losses: bool = False,
     pallas_composite: Optional[bool] = None,
+    aabb: Optional[jax.Array] = None,   # eval-only override (gui aabb_infer)
 ) -> Dict[str, jax.Array]:
     N = rays_o.shape[0]
-    aabb = jnp.array([-bound] * 3 + [bound] * 3, jnp.float32)
+    if aabb is None:
+        aabb = jnp.array([-bound] * 3 + [bound] * 3, jnp.float32)
+    else:
+        aabb = jnp.asarray(aabb, jnp.float32)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
 
     k_light, k_march, k_smooth = jax.random.split(key, 3)

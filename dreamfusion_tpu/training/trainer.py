@@ -229,7 +229,11 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
     from dreamfusion_tpu.ops.composite import near_far_from_aabb
     from dreamfusion_tpu.ops.marching import MarchOut, march_rays, shade_march
 
-    aabb = jnp.array([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
+    # aabb_infer (gui sliders) narrows only the eval ray-box intersection,
+    # never the train path (reference: nerf/gui.py:319-345 mutates
+    # aabb_infer, not aabb_train)
+    aabb = jnp.array(cfg.aabb_infer if cfg.aabb_infer is not None
+                     else [-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
 
     @jax.jit
     def march_chunk(occ, o, d):
@@ -376,8 +380,9 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             zk = jnp.zeros((group, cfg.grid_K))
             zv = jnp.zeros((group, cfg.grid_K), bool)
             z1 = jnp.zeros((group,))
-            Kb_ladder = {_pick_K_bucket(float(b), cfg.grid_K)
-                         for b in (16, 32, 48, 64, 96, 128, 192, 256)}
+            warm = (cfg.eval_warm_buckets if cfg.eval_warm_buckets
+                    else (16, 32, 48, 64, 96, 128, 192, 256))
+            Kb_ladder = {_pick_K_bucket(float(b), cfg.grid_K) for b in warm}
             for Kb in sorted(Kb_ladder):
                 get_shade(Kb, with_bg)(params, zk, zk, zv, zg, zg, z1, z1,
                                        shading_code, ambient_ratio,
@@ -491,6 +496,8 @@ def make_eval_render(cfg: Config, model: _BaseNeRF, H: int, W: int,
             if renderer == "grid":
                 from dreamfusion_tpu.ops.marching import render_grid
 
+                aabb = (jnp.asarray(cfg.aabb_infer, jnp.float32)
+                        if cfg.aabb_infer is not None else None)
                 return render_grid(
                     key, fns, grid_state, o, d, bound=cfg.bound,
                     min_near=cfg.min_near, max_steps=cfg.max_steps,
@@ -498,7 +505,7 @@ def make_eval_render(cfg: Config, model: _BaseNeRF, H: int, W: int,
                     bg_radius=cfg.bg_radius, light_d=light_d,
                     ambient_ratio=ambient_ratio, shading_code=shading_code,
                     bg_color=bg, perturb=False,
-                    pallas_composite=cfg.pallas_composite)
+                    pallas_composite=cfg.pallas_composite, aabb=aabb)
             return render_stratified(
                 key, fns, o, d, bound=cfg.bound, min_near=cfg.min_near,
                 num_steps=cfg.num_steps, upsample_steps=cfg.upsample_steps,
@@ -623,6 +630,31 @@ class Trainer:
         use_ckpt = use_checkpoint if use_checkpoint is not None else cfg.ckpt
         if use_ckpt not in ("scratch",):
             self.load_checkpoint(use_ckpt)
+
+    def reset_weights(self):
+        """GUI reset button (reference: nerf/gui.py:221-233 — re-init every
+        module's parameters + reset_extra_state for the occupancy grid):
+        fresh param init from a new fold of the trainer PRNG, fresh
+        optimizer state, step 0, and a fresh occupancy grid. Shapes are
+        unchanged, so every compiled step/render program stays valid."""
+        self._key, k_init, k_state = jax.random.split(self._key, 3)
+        x0 = jnp.zeros((8, 3))
+        d0 = jnp.ones((8, 3)) / jnp.sqrt(3.0)
+        params = self.model.init(k_init, x0, d0, method=self.model.init_all)
+        if getattr(self.cfg, "pretrained_dvgo", None) and hasattr(
+                self.model, "load_pretrained"):
+            params = self.model.load_pretrained(params,
+                                                self.cfg.pretrained_dvgo)
+        ema = params if self.cfg.ema_decay else None
+        self.state = TrainState(step=jnp.int32(0), params=params,
+                                opt_state=self.tx.init(params), key=k_state,
+                                ema_params=ema)
+        if self.cfg.grid_ray:
+            from dreamfusion_tpu.ops.marching import init_grid_state
+
+            self.grid_state = init_grid_state(
+                self.cfg.cascade, self.cfg.grid_size, self.cfg.density_thresh)
+        self.stats = {"valid_loss": [], "best_result": None}
 
     # -- text -----------------------------------------------------------------
 

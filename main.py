@@ -18,7 +18,7 @@ from dreamfusion_tpu.models import build_model
 from dreamfusion_tpu.training.trainer import Trainer
 
 
-def main(argv=None):
+def main(argv=None, dpg=None):
     cfg = parse_config(argv)
     print(cfg)
 
@@ -27,6 +27,8 @@ def main(argv=None):
     if cfg.test:
         trainer = Trainer("df", cfg, model, none_guidance(),
                           workspace=cfg.workspace, use_checkpoint=cfg.ckpt)
+        if cfg.gui:  # interactive viewer on a loaded ckpt (main.py:113-115)
+            return _launch_gui(cfg, trainer, dpg)
         trainer.test()
         if cfg.save_mesh:
             trainer.save_mesh(resolution=256)
@@ -34,10 +36,20 @@ def main(argv=None):
         guidance = build_guidance(cfg)
         trainer = Trainer("df", cfg, model, guidance, workspace=cfg.workspace,
                           use_checkpoint=cfg.ckpt)
+        if cfg.gui:  # interactive train-while-viewing (main.py:64,160-162)
+            return _launch_gui(cfg, trainer, dpg)
         trainer.train(max_steps=cfg.iters)
         trainer.test()
         if cfg.save_mesh:
             trainer.save_mesh(resolution=256)
+
+
+def _launch_gui(cfg, trainer, dpg=None):
+    from dreamfusion_tpu.apps.gui import NeRFGUI
+
+    gui = NeRFGUI(cfg, trainer)
+    gui.render(dpg=dpg)
+    return gui
 
 
 if __name__ == "__main__":
