@@ -52,7 +52,17 @@ def build_guidance(cfg) -> Guidance:
 
         from dreamfusion_tpu.guidance.sd import build_sd_guidance
 
+        sd_w = cfg.sd_weights
+        if sd_w in (None, "random-full"):
+            # zero-egress env: weights can only arrive as a mount. Probe +
+            # log every startup so the flip to real weights is automatic
+            # the day they appear (random-tiny stays tiny: test configs).
+            from dreamfusion_tpu.guidance.sd.probe import find_sd_weights
+
+            real = find_sd_weights()
+            if real is not None:
+                sd_w = real
         return build_sd_guidance(
-            cfg.sd_weights, guidance_scale=cfg.guidance_scale,
+            sd_w, guidance_scale=cfg.guidance_scale,
             dtype=_jnp.bfloat16 if cfg.fp16 else _jnp.float32)
     raise NotImplementedError(f"guidance {cfg.guidance!r} not implemented")

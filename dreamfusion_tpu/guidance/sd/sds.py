@@ -28,8 +28,10 @@ import jax.numpy as jnp
 from dreamfusion_tpu.guidance import Guidance
 from dreamfusion_tpu.guidance.sd.scheduler import (DiffusionSchedule,
                                                    add_noise, make_schedule)
-from dreamfusion_tpu.guidance.sd.unet import UNet2DCondition, sd15_unet, tiny_unet
-from dreamfusion_tpu.guidance.sd.vae import AutoencoderKL, sd15_vae, tiny_vae
+from dreamfusion_tpu.guidance.sd.unet import (UNet2DCondition, nano_unet,
+                                              sd15_unet, tiny_unet)
+from dreamfusion_tpu.guidance.sd.vae import (AutoencoderKL, nano_vae,
+                                             sd15_vae, tiny_vae)
 
 LATENT_SCALE = 0.18215  # nerf/sd.py:162
 
@@ -71,8 +73,13 @@ def build_sd_guidance(weights: Optional[str] = None,
     """weights: path to a converted flax checkpoint (convert.py), a local
     diffusers-format SD directory, or None/'random-tiny'/'random-full' for
     randomly initialized models (offline tests / true-scale benchmarks)."""
-    tiny = weights in (None, "random-tiny")
-    if tiny:
+    tiny = weights in (None, "random-tiny", "random-nano")
+    if weights == "random-nano":
+        unet, vae = nano_unet(), nano_vae()
+        latent_size = 8   # 64px images
+        text_dim = unet.cross_attention_dim
+        text_params = None
+    elif tiny:
         unet, vae = tiny_unet(), tiny_vae()
         latent_size = 8   # 64px images
         text_dim = unet.cross_attention_dim
@@ -100,6 +107,10 @@ def build_sd_guidance(weights: Optional[str] = None,
 
         params, text_encode = load_sd_params(weights, unet, vae)
     else:
+        # eager init, deliberately: jitting the init compiles one huge
+        # program (measured 4.5+ min of XLA CPU compile for the tiny UNet)
+        # while eager dispatch of the layer ops takes ~1 min and caches
+        # across tests
         params = {
             "unet": unet.init(k1, lat, jnp.zeros((1,), jnp.int32), ctx),
             "vae": vae.init(k2, img, k2),

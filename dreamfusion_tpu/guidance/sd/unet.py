@@ -276,3 +276,13 @@ def tiny_unet(dtype=jnp.float32) -> UNet2DCondition:
     return UNet2DCondition(block_out_channels=(32, 64, 64, 64),
                            layers_per_block=1, attention_heads=2,
                            cross_attention_dim=32, dtype=dtype)
+
+
+def nano_unet(dtype=jnp.float32) -> UNet2DCondition:
+    """Smallest SD-shaped UNet (2 blocks, 1 head): for paths that compile
+    the WHOLE train step on CPU (bench --tiny smoke, dryrun_multichip) —
+    the 4-block tiny config costs ~6 min of XLA CPU compile inside the
+    fused render+SDS+grad program."""
+    return UNet2DCondition(block_out_channels=(32, 32),
+                           layers_per_block=1, attention_heads=1,
+                           cross_attention_dim=16, dtype=dtype)

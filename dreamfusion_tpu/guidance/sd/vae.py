@@ -148,3 +148,9 @@ def sd15_vae(dtype=jnp.bfloat16) -> AutoencoderKL:
 def tiny_vae(dtype=jnp.float32) -> AutoencoderKL:
     return AutoencoderKL(block_out_channels=(32, 32, 64, 64),
                          layers_per_block=1, dtype=dtype)
+
+
+def nano_vae(dtype=jnp.float32) -> AutoencoderKL:
+    """2-block sibling of nano_unet (see unet.nano_unet)."""
+    return AutoencoderKL(block_out_channels=(32, 32),
+                         layers_per_block=1, dtype=dtype)
