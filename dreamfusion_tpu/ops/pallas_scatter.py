@@ -35,6 +35,7 @@ noise.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -132,6 +133,15 @@ def matmul_scatter_add(local_idx: jax.Array, u0: jax.Array, u1: jax.Array,
 _FINE_W = 8          # 8 fine slots * 16 row channels = 128 output lanes
 _C_ROW = 16
 
+# VMEM ceiling for the wide kernel's resident state: the [R_pad, 128] f32
+# output block plus an equal-size accumulator live in VMEM for the whole
+# grid. v5e VMEM is ~64 MiB usable; staying under 16 MiB for the pair
+# leaves room for input blocks and double buffering. Tables above the
+# ceiling (log2_hashmap_size > 19 with _FINE_W=8) fall back to the XLA
+# scatter — correctness first; no production config exceeds it
+# (networks.py uses log2_hashmap_size=16 -> 4 MiB).
+_WIDE_VMEM_BYTES = 16 * 2 ** 20
+
 
 def _scatter_kernel_wide(coarse_ref, fine_ref, u_ref, out_ref):
     """u_ref block [1, 8, C_ROW, _SUB]: per sub-chunk s, updates arrive as
@@ -163,14 +173,72 @@ def _scatter_kernel_wide(coarse_ref, fine_ref, u_ref, out_ref):
     out_ref[:] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("table_size", "interpret"))
+# -- factorized (v2) wide kernel --------------------------------------------
+# The v1 kernel's VPU cost is dominated by generating the [R, _SUB] coarse
+# one-hot (R up to 8192): R*_SUB compares per sub-chunk. Splitting the
+# coarse index once more, coarse = hi*_LO + lo, moves lo into the LANE axis
+# of the update matrix: the one-hot shrinks to [R/_LO, _SUB] and the update
+# matrix widens to [_SUB, _LO*128] — generation cost drops ~3-4x (the
+# balanced split minimizes (R/m + 128m)*_SUB at m = sqrt(R/128) = 8 for the
+# production 2^16 table), and the matmul becomes [R/8, _SUB] @ [_SUB, 1024]
+# — a much better MXU shape (N=1024 vs 128) for identical total FLOPs.
+_LO = 8              # lo slots; out lanes = _LO * _FINE_W * _C_ROW = 1024
+
+
+def _scatter_kernel_wide2(hi_ref, lo_ref, fine_ref, u_ref, out_ref):
+    """Factorized: out[hi, lo*128 + fine*16 + c] += u[c, u] for each update
+    u with coarse = hi*_LO + lo. The inner 128 lanes (fine x c) are built
+    exactly as v1 at [_SUB, 128], then lane-tiled _LO times (native
+    128-lane tile copies) and masked by the lo compare — the only new wide
+    VPU work is one [_SUB, 1024] compare + multiply."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    RH = out_ref.shape[0]
+    W = _LO * _FINE_W * _C_ROW                                   # 1024
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (RH, _SUB), 0)
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _FINE_W * _C_ROW), 1)
+    fine_of_j = jcol // _C_ROW
+    c_of_j = jcol % _C_ROW
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, W), 1)
+    lo_of_w = wcol // (_FINE_W * _C_ROW)
+    for s in range(8):
+        hi = hi_ref[0, s]               # [_SUB] i32 (padded entries = -1)
+        lo = lo_ref[0, s]               # [_SUB] i32 in [0, _LO)
+        fine = fine_ref[0, s]           # [_SUB] i32 in [0, _FINE_W)
+        a = (rows == hi[None, :]).astype(jnp.bfloat16)         # [RH, _SUB]
+        fmask = fine[:, None] == fine_of_j                     # [_SUB, 128]
+        uval = jnp.zeros((_SUB, _FINE_W * _C_ROW), jnp.float32)
+        for c in range(_C_ROW):
+            uval = jnp.where(c_of_j == c, u_ref[0, s, c][:, None], uval)
+        b128 = jnp.where(fmask, uval, 0.0)                     # [_SUB, 128]
+        bw = jnp.concatenate([b128] * _LO, axis=1)             # [_SUB, W]
+        b = jnp.where(lo[:, None] == lo_of_w, bw, 0.0).astype(jnp.bfloat16)
+        acc += jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    out_ref[:] += acc
+
+
+# wide-kernel selector: 2 = factorized (default), 1 = v1 (kept for A/B
+# benchmarking and as a fallback switch)
+WIDE_VERSION = 2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("table_size", "interpret", "version"))
 def matmul_scatter_add_wide(local_idx: jax.Array, upd_cm: jax.Array,
-                            table_size: int,
-                            interpret: bool = False) -> jax.Array:
+                            table_size: int, interpret: bool = False,
+                            version: Optional[int] = None) -> jax.Array:
     """d = zeros([table_size, 16]).at[local_idx].add(upd_cm.T) as a dense
     MXU matmul. local_idx: [J] int32 in [0, table_size); upd_cm: [16, J]
     f32 (channel-major — lane-friendly, no trailing-16 padding on the
     host side). Returns [table_size, 16] f32."""
+    if version is None:
+        version = WIDE_VERSION
     J = local_idx.shape[0]
     n_chunks = -(-J // _CHUNK)
     pad = n_chunks * _CHUNK - J
@@ -183,8 +251,47 @@ def matmul_scatter_add_wide(local_idx: jax.Array, upd_cm: jax.Array,
     R = -(-table_size // _FINE_W)
     R_pad = -(-R // 8) * 8
 
+    if 2 * R_pad * _FINE_W * _C_ROW * 4 > _WIDE_VMEM_BYTES:
+        # table too large for the VMEM-resident output block: XLA scatter.
+        # Padded entries (idx -1 would wrap) are masked to zero updates.
+        idx_safe = jnp.maximum(local_idx, 0)
+        upd_safe = jnp.where(local_idx[None, :] < 0, 0.0, upd_cm)
+        return jnp.zeros((table_size, _C_ROW), jnp.float32).at[
+            idx_safe].add(upd_safe.T)
+
     # [16, J] -> [n, 8, 16, _SUB]
     u4 = upd_cm.reshape(_C_ROW, n_chunks, 8, _SUB).transpose(1, 2, 0, 3)
+
+    if version == 2:
+        # factorized kernel: hi one-hot is _LO x smaller; lo rides the
+        # output lane axis (see _scatter_kernel_wide2)
+        RH = -(-R // _LO)
+        RH_pad = -(-RH // 8) * 8
+        hi = jnp.where(coarse < 0, -1, coarse // _LO)
+        lo = coarse % _LO
+        W = _LO * _FINE_W * _C_ROW
+        out = pl.pallas_call(
+            _scatter_kernel_wide2,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, 8, _SUB), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, _SUB), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, _SUB), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, _C_ROW, _SUB), lambda j: (j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((RH_pad, W), lambda j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((RH_pad, W), jnp.float32),
+            interpret=interpret,
+        )(hi.reshape(n_chunks, 8, _SUB), lo.reshape(n_chunks, 8, _SUB),
+          fine.reshape(n_chunks, 8, _SUB), u4)
+        # rows come back as (hi, lo, fine)-major: hi*_LO*_FINE_W +
+        # lo*_FINE_W + fine = coarse*_FINE_W + fine = table row
+        return out.reshape(RH_pad * _LO * _FINE_W, _C_ROW)[:table_size]
 
     out = pl.pallas_call(
         _scatter_kernel_wide,

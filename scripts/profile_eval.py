@@ -1,0 +1,113 @@
+"""Profile one staged-eval frame on the real TPU (VERDICT r2 next #3:
+'finish the investigation' of where the 8.4 s @ 512^2 frame goes).
+
+Builds the bench-shaped trainer (guidance=none — the eval path never touches
+guidance), warms the grid with a few train steps + refreshes, renders warm
+frames, then captures a jax.profiler device trace of N measured frames and
+prints (a) wall-clock per frame, (b) device-time per op name from the
+perfetto trace — the tunnel-safe attribution method (NOTES.md: trust traces
+over wall deltas here).
+
+Usage: python scripts/profile_eval.py [--H 512] [--frames 2] [--out /tmp/tr]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--H", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--warm_steps", type=int, default=40)
+    ap.add_argument("--out", default="/tmp/trace_eval")
+    ap.add_argument("--cache_dir", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    ap.add_argument("--no_trace", action="store_true",
+                    help="wall-clock only (skip the profiler)")
+    args = ap.parse_args()
+
+    os.makedirs(args.cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from dreamfusion_tpu.config import Config
+    from dreamfusion_tpu.training.trainer import Trainer
+
+    ws = f"/tmp/prof_eval_ws_{os.getpid()}"
+    cfg = Config(text="a DSLR photo of a hamburger", guidance="none",
+                 backbone="grid", grid_ray=True, h=64, w=64, iters=10000,
+                 dir_text=True, fp16=True, max_steps=512, grid_K=128,
+                 grid_size=128, lambda_orient=0.0, workspace=ws).finalize()
+    trainer = Trainer("prof", cfg, use_checkpoint="scratch")
+    trainer.train(max_steps=args.warm_steps, log_interval=10 ** 9,
+                  checkpoint_at_end=False)
+    occ_frac = float(jnp.mean(trainer.grid_state.occ.astype(jnp.float32)))
+    print(f"occupancy fraction after warm: {occ_frac:.4f}", flush=True)
+
+    H = args.H
+    # warm every program the frame touches (2 poses)
+    for w in (0, 1):
+        out = trainer._render_orbit_frame(w, 100, H, H)
+        _ = float(jnp.sum(out["image"]))
+        print(f"warm frame {w} done", flush=True)
+
+    t0 = time.perf_counter()
+    if not args.no_trace:
+        jax.profiler.start_trace(args.out, create_perfetto_trace=True)
+    for f in range(args.frames):
+        tf = time.perf_counter()
+        out = trainer._render_orbit_frame(2 + f, 100, H, H)
+        _ = float(jnp.sum(out["image"]))
+        print(f"frame {f}: {time.perf_counter() - tf:.3f} s", flush=True)
+    if not args.no_trace:
+        jax.profiler.stop_trace()
+    dt = (time.perf_counter() - t0) / args.frames
+    print(json.dumps({"H": H, "sec_per_frame": round(dt, 3),
+                      "fps": round(1.0 / dt, 4)}), flush=True)
+
+    if not args.no_trace:
+        summarize(args.out)
+
+
+def summarize(trace_dir, top=30):
+    hits = sorted(glob.glob(os.path.join(
+        trace_dir, "**", "*.trace.json.gz"), recursive=True))
+    if not hits:
+        print("no perfetto trace found under", trace_dir)
+        return
+    with gzip.open(hits[-1], "rt") as f:
+        tr = json.load(f)
+    # device-time by op name: sum complete events on TPU device tracks
+    pid_names = {e.get("pid"): e["args"].get("name", "")
+                 for e in tr["traceEvents"]
+                 if e.get("ph") == "M" and e.get("name") == "process_name"
+                 and "args" in e}
+    dur_by_name = {}
+    total = 0.0
+    for e in tr["traceEvents"]:
+        if e.get("ph") != "X":
+            continue
+        pname = pid_names.get(e.get("pid"), "")
+        if "TPU" not in pname and "tpu" not in pname:
+            continue
+        d = e.get("dur", 0) / 1e3  # us -> ms
+        name = e.get("name", "?")
+        dur_by_name[name] = dur_by_name.get(name, 0.0) + d
+        total += d
+    print(f"\ndevice time total: {total:.1f} ms  (top {top} ops)")
+    for name, d in sorted(dur_by_name.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {d:10.2f} ms  {100 * d / max(total, 1e-9):5.1f}%  {name}")
+
+
+if __name__ == "__main__":
+    main()

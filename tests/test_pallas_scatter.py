@@ -99,3 +99,28 @@ def test_matmul_scatter_add_wide_matches_oracle():
     scale = np.abs(upd).max()
     np.testing.assert_allclose(np.asarray(got) / scale, want / scale,
                                atol=2e-2)
+
+
+@pytest.mark.parametrize("J,T", [(5000, 1000), (3000, 65536), (500, 4096)])
+def test_wide_v2_factorized_matches_oracle_and_v1(J, T):
+    """The factorized (hi/lo radix) wide kernel must agree with the XLA
+    oracle and with v1 on identical inputs, including duplicate indices
+    and a padded tail."""
+    from dreamfusion_tpu.ops.pallas_scatter import matmul_scatter_add_wide
+
+    rng = np.random.RandomState(1)
+    idx = rng.randint(0, T, size=J).astype(np.int32)
+    upd = rng.randn(16, J).astype(np.float32)
+
+    v2 = matmul_scatter_add_wide(jnp.asarray(idx), jnp.asarray(upd), T,
+                                 interpret=True, version=2)
+    v1 = matmul_scatter_add_wide(jnp.asarray(idx), jnp.asarray(upd), T,
+                                 interpret=True, version=1)
+    want = np.zeros((T, 16), np.float32)
+    np.add.at(want, idx, upd.T)
+    scale = np.abs(upd).max()
+    np.testing.assert_allclose(np.asarray(v2) / scale, want / scale,
+                               atol=2e-2)
+    # v1 and v2 do the same bf16 rounding; they should agree very tightly
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                               rtol=1e-5, atol=1e-5)
