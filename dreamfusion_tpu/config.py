@@ -57,6 +57,13 @@ class Config:
     # mode kernel would slow CPU runs ~10x).
     pallas_composite: Optional[bool] = None
     grid_table_bf16: bool = False       # bf16 hash-table gathers (HBM lever)
+    # adaptive-K bucket source: 'count' = 95th-pct marching count (the
+    # mean_count budget analog); 'live' = 95th-pct TRANSMITTANCE-live count
+    # (samples before the T<1e-4 early stop — the CUDA compositor's break,
+    # raymarching.cu:557, recovered statically; identical outputs/grads for
+    # non-truncated rays, and a much smaller bucket once the field trains
+    # out of its early fog phase)
+    grid_K_policy: str = "live"
     # staged-eval warm-up: which shade K-buckets to pre-compile on the first
     # frame. None = full ladder (no mid-frame compile ever); a short tuple
     # trades possible one-off mid-frame compiles for a much cheaper first

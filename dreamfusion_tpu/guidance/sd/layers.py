@@ -1,0 +1,60 @@
+"""TPU-layout-friendly building blocks shared by the SD UNet and VAE.
+
+GroupNorm is the one flax layer whose internal layout fights the TPU:
+`nn.GroupNorm` reshapes activations to [..., groups, C // groups], and the
+tiny trailing dim (4-40 for SD's 32-group norms) pads to the 128-lane tile
+— the round-3 bench trace attributed ~7.5 ms/step of pure pad / data-
+formatting kernels to flax's normalization.py at SD activation sizes.
+
+`TPUGroupNorm` computes the identical statistics without ever materializing
+a small-trailing-dim tensor at activation scale: per-CHANNEL sums reduce
+over the full-lane [..., C] layout, and the group aggregation happens on
+the tiny [B, C] moment vectors. Parameter-compatible with nn.GroupNorm
+(scale/bias of shape [C] under the same module name), so the diffusers
+state-dict converter and the layout-parity tests are unaffected.
+
+Reference behavior being matched: torch GroupNorm in fp32 under AMP
+(diffusers UNet/VAE norm layers, /root/reference/nerf/sd.py:39-46 loads
+them; fp32 stats like flax's use_fast_variance one-pass E[x^2]-E[x]^2).
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class TPUGroupNorm(nn.Module):
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1]
+        G = self.num_groups
+        assert C % G == 0, (C, G)
+        B = x.shape[0]
+        red_axes = tuple(range(1, x.ndim - 1))
+        n = (C // G) * math.prod(x.shape[a] for a in red_axes)
+
+        xf = x.astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=red_axes)                     # [B, C]
+        s2 = jnp.sum(xf * xf, axis=red_axes)                # [B, C]
+        gs1 = s1.reshape(B, G, C // G).sum(-1)              # [B, G] (tiny)
+        gs2 = s2.reshape(B, G, C // G).sum(-1)
+        mean = gs1 / n
+        var = jnp.maximum(gs2 / n - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)             # [B, G]
+
+        mean_c = jnp.repeat(mean, C // G, axis=-1)          # [B, C]
+        inv_c = jnp.repeat(inv, C // G, axis=-1)
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        bshape = (B,) + (1,) * len(red_axes) + (C,)
+        y = (xf - mean_c.reshape(bshape)) * inv_c.reshape(bshape)
+        return y * scale + bias                             # f32, like
+                                                            # nn.GroupNorm(
+                                                            #  dtype=f32)

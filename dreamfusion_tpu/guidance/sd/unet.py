@@ -25,6 +25,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from dreamfusion_tpu.guidance.sd.layers import TPUGroupNorm
+
 
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0,
                        flip_sin_to_cos: bool = True,
@@ -64,8 +66,7 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32,
-                         name="norm1")(x)
+        h = TPUGroupNorm(self.groups, epsilon=self.eps, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
@@ -73,8 +74,7 @@ class ResnetBlock2D(nn.Module):
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32,
-                         name="norm2")(h)
+        h = TPUGroupNorm(self.groups, epsilon=self.eps, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -154,7 +154,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context):
         B, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        h = TPUGroupNorm(32, epsilon=1e-6, name="norm")(x)
         h = h.astype(self.dtype)
         # SD v1.x uses conv 1x1 projections (use_linear_projection=False)
         h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
@@ -259,8 +259,7 @@ class UNet2DCondition(nn.Module):
                 h = Upsample2D(out_ch, dtype=self.dtype,
                                name=f"up_blocks_{i}_upsamplers_0")(h)
 
-        h = nn.GroupNorm(32, epsilon=1e-5, dtype=jnp.float32,
-                         name="conv_norm_out")(h)
+        h = TPUGroupNorm(32, epsilon=1e-5, name="conv_norm_out")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(h)

@@ -18,6 +18,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from dreamfusion_tpu.guidance.sd.layers import TPUGroupNorm
+
 from dreamfusion_tpu.guidance.sd.unet import (Downsample2D, ResnetBlock2D,
                                               Upsample2D)
 
@@ -29,7 +31,7 @@ class VAEAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32, name="group_norm")(x)
+        h = TPUGroupNorm(32, epsilon=1e-6, name="group_norm")(x)
         h = h.astype(self.dtype).reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
@@ -65,8 +67,7 @@ class Encoder(nn.Module):
         h = VAEAttention(dtype=self.dtype, name="mid_block_attentions_0")(h)
         h = ResnetBlock2D(ch[-1], use_temb=False, eps=1e-6, dtype=self.dtype,
                           name="mid_block_resnets_1")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32,
-                         name="conv_norm_out")(h)
+        h = TPUGroupNorm(32, epsilon=1e-6, name="conv_norm_out")(h)
         h = nn.silu(h).astype(self.dtype)
         return nn.Conv(2 * self.latent_channels, (3, 3), padding=1,
                        dtype=self.dtype, name="conv_out")(h)
@@ -96,8 +97,7 @@ class Decoder(nn.Module):
             if i != len(ch) - 1:
                 h = Upsample2D(out_ch, dtype=self.dtype,
                                name=f"up_blocks_{i}_upsamplers_0")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32,
-                         name="conv_norm_out")(h)
+        h = TPUGroupNorm(32, epsilon=1e-6, name="conv_norm_out")(h)
         h = nn.silu(h).astype(self.dtype)
         return nn.Conv(3, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h).astype(jnp.float32)

@@ -570,6 +570,21 @@ def shade_march(
 
     depth = jnp.clip(out.depth - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-6)
 
+    # live count: samples still above the transmittance early-stop. Culled
+    # samples (trans <= T_thresh) have weight exactly 0 AND gradient exactly
+    # 0 (trans decreases monotonically, so a culled sample's sigma only
+    # reaches culled weights) — the t-ordered live samples are a per-ray
+    # PREFIX, so next steps can shade at the smaller live bucket by plain
+    # K-slicing with identical outputs for every non-truncated ray (the
+    # CUDA early-break economy, raymarching.cu:557, recovered statically).
+    sg = jax.lax.stop_gradient
+    alphas_sg = 1.0 - jnp.exp(-sg(sigma) * dts)
+    trans_sg = jnp.cumprod(
+        jnp.concatenate([jnp.ones((N, 1)), 1.0 - alphas_sg + 1e-15], 1),
+        axis=1)[:, :-1]
+    live = march.valid & (trans_sg > T_thresh)
+    live_counts = jnp.sum(live, axis=1).astype(jnp.float32)
+
     results.update({
         "image": image,
         "depth": depth,
@@ -579,5 +594,6 @@ def shade_march(
         # 95th-percentile marching count: drives the Trainer's adaptive
         # sample budget (the mean_count budget analog, raymarching.py:200)
         "count_q95": jnp.percentile(march.counts.astype(jnp.float32), 95.0),
+        "live_q95": jnp.percentile(live_counts, 95.0),
     })
     return results

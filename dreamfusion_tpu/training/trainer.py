@@ -142,6 +142,8 @@ def make_grads_fn(cfg: Config, model: _BaseNeRF, guidance: Guidance,
             metrics["shading_code"] = code
             if "count_q95" in out:
                 metrics["count_q95"] = out["count_q95"]
+            if "live_q95" in out:
+                metrics["live_q95"] = out["live_q95"]
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_in)
@@ -695,6 +697,26 @@ class Trainer:
         (one cached compilation per bucket)."""
         return _pick_K_bucket(q95, self.cfg.grid_K)
 
+    def _pick_grid_K_live(self, live_q95: float, count_q95: float,
+                          cur_K: int) -> int:
+        """grid_K_policy='live': bucket from the 95th-percentile LIVE count
+        (samples with transmittance above the early-stop, shade_march) —
+        culled samples carry exactly zero weight and gradient, so shading
+        at the live bucket reproduces the CUDA compositor's early break
+        (raymarching.cu:557) with identical results for non-truncated rays.
+
+        live is measured on the current bucket's truncated sample set, so
+        it saturates at cur_K: when saturated, grow ONE ladder step toward
+        the count bucket (re-measure there next window — damps bucket
+        oscillation); otherwise shrink straight to the live bucket."""
+        count_b = _pick_K_bucket(count_q95, self.cfg.grid_K)
+        if live_q95 >= 0.95 * cur_K and cur_K < count_b:
+            for b in (16, 32, 48, 64, 96, 128, 192, 256):
+                if b > cur_K:
+                    return min(b, count_b)
+            return count_b
+        return min(_pick_K_bucket(live_q95, self.cfg.grid_K), count_b)
+
     def _get_train_step(self, grid_K: Optional[int]):
         key = grid_K or self.cfg.grid_K
         if key not in self._step_cache:
@@ -738,8 +760,17 @@ class Trainer:
                     step // cfg.update_extra_interval)
                 if (cfg.grid_K_adaptive and metrics is not None
                         and "count_q95" in metrics):
-                    live_K = self._pick_grid_K(float(metrics["count_q95"]))
-                    self._train_step = self._get_train_step(live_K)
+                    if (cfg.grid_K_policy == "live"
+                            and "live_q95" in metrics):
+                        cur = getattr(self, "_cur_grid_K", cfg.grid_K)
+                        new_K = self._pick_grid_K_live(
+                            float(metrics["live_q95"]),
+                            float(metrics["count_q95"]), cur)
+                    else:
+                        new_K = self._pick_grid_K(
+                            float(metrics["count_q95"]))
+                    self._cur_grid_K = new_K
+                    self._train_step = self._get_train_step(new_K)
             self.state, metrics = self._train_step(
                 self.state, self.guidance.params, self.text_z, None,
                 *((self.grid_state,) if self.renderer == "grid" else ()))

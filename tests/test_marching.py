@@ -339,3 +339,82 @@ def test_coarse_count_upper_bound():
                                   max_steps=S, K=128).counts)
     assert np.all(exact <= (stride + 1) * coarse), \
         (exact - (stride + 1) * coarse).max()
+
+
+def test_live_q95_and_truncated_shade_equivalence():
+    """live_q95 counts samples above the T<1e-4 early stop; culled samples
+    carry exactly zero weight AND gradient (transmittance is monotone), so
+    shading at any K >= the per-ray live count reproduces the full render
+    bit-for-bit for non-truncated rays (the CUDA early-break economy,
+    raymarching.cu:557, recovered statically)."""
+    from dreamfusion_tpu.ops.marching import march_rays, shade_march
+    from dreamfusion_tpu.ops.composite import near_far_from_aabb
+    from dreamfusion_tpu import cameras
+
+    density = _ball_density(sigma0=600.0)  # very opaque: T dies fast
+    color = jnp.array([0.2, 0.7, 0.4])
+
+    def field(x, d, l, r, s):
+        return (density(x)["sigma"], jnp.broadcast_to(color, x.shape),
+                jnp.zeros_like(x))
+
+    fns = FieldFns(field=field, density=density, background=None)
+    state = init_grid_state(1, 64)
+    state = update_grid(density, state, jax.random.PRNGKey(0), bound=1.0,
+                        density_thresh=10.0)
+
+    poses, _ = cameras.circle_poses(jnp.array([30.0]), radius=2.0)
+    H = W = 9
+    focal = float(cameras.fov_to_focal(50.0, H))
+    rays = cameras.get_rays(poses, jnp.array([focal, focal, W / 2, H / 2]),
+                            H, W)
+    ro, rd = rays.origins[0], rays.directions[0]
+    aabb = jnp.array([-1.0] * 3 + [1.0] * 3)
+    nears, fars = near_far_from_aabb(ro, rd, aabb, 0.1)
+    m = march_rays(None, state.occ, ro, rd, nears, fars, bound=1.0,
+                   max_steps=256, K=128, dt_gamma=0.0, perturb=False)
+
+    out_full = shade_march(fns, m, ro, rd, nears, fars, K=128, bound=1.0,
+                           light_d=jnp.array([0.0, 0.0, 1.0]),
+                           bg_radius=0.0, pallas_composite=False)
+    assert "live_q95" in out_full and "count_q95" in out_full
+    live95 = float(out_full["live_q95"])
+    count95 = float(out_full["count_q95"])
+    assert live95 <= count95
+    # opaque ball: transmittance kills most of the interior samples
+    assert live95 < 0.6 * count95
+
+    # shading at the live bucket reproduces the image (live samples are a
+    # t-ordered prefix; shade_march K-slices that prefix)
+    K2 = int(np.ceil(live95 / 16) * 16)
+    out_trunc = shade_march(fns, m, ro, rd, nears, fars, K=K2, bound=1.0,
+                            light_d=jnp.array([0.0, 0.0, 1.0]),
+                            bg_radius=0.0, pallas_composite=False)
+    live_counts = None
+    img_f = np.asarray(out_full["image"])
+    img_t = np.asarray(out_trunc["image"])
+    # non-truncated rays (live count <= K2): identical up to fp noise
+    # (95% of rays by construction of the q95 bucket)
+    diff = np.abs(img_f - img_t).max(axis=-1)
+    assert np.percentile(diff, 94) < 1e-5
+    assert np.mean(diff) < 1e-3
+
+
+def test_pick_grid_K_live_policy():
+    from dreamfusion_tpu.training.trainer import Trainer
+
+    class _T:                      # duck-typed self for the picker
+        from dreamfusion_tpu.config import Config
+        cfg = Config(grid_K=128)
+    pick = Trainer._pick_grid_K_live
+
+    # shrink straight to the live bucket
+    assert pick(_T(), 30.0, 131.0, 128) == 32
+    # saturated at the current bucket: grow ONE ladder step (not to cap)
+    assert pick(_T(), 47.0, 131.0, 48) == 64
+    # saturated but count bucket close: clamp to count bucket
+    assert pick(_T(), 47.0, 50.0, 48) == 64
+    # live == count == fog regime: stay at cap
+    assert pick(_T(), 131.0, 131.0, 128) == 128
+    # never exceed the count bucket when shrinking
+    assert pick(_T(), 60.0, 40.0, 128) == 48

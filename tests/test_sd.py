@@ -269,3 +269,30 @@ def test_pndm_full_sampler_recovers_x0_with_exact_eps():
             x, state = pndm_plms_step(sched, eps_exact(x, int(t)), int(t),
                                       t_prev, x, state)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=5e-3)
+
+
+def test_tpu_group_norm_matches_flax():
+    """TPUGroupNorm: identical statistics to nn.GroupNorm without the
+    [..., G, C//G] reshape whose tiny trailing dim pads to the 128-lane
+    tile (bench trace r3: ~7.5 ms/step of pad kernels at SD sizes)."""
+    import flax.core
+    import flax.linen as nn
+
+    from dreamfusion_tpu.guidance.sd.layers import TPUGroupNorm
+
+    k = jax.random.PRNGKey(0)
+    for shape, g in (((2, 8, 8, 64), 32), ((2, 16, 128), 32),
+                     ((1, 4, 4, 8), 4)):
+        x = jax.random.normal(k, shape, jnp.float32) * 3 + 1
+        c = shape[-1]
+        variables = flax.core.freeze({"params": {
+            "scale": jax.random.normal(jax.random.fold_in(k, 1), (c,)),
+            "bias": jax.random.normal(jax.random.fold_in(k, 2), (c,))}})
+        ref = nn.GroupNorm(g, epsilon=1e-6, dtype=jnp.float32).apply(
+            variables, x)
+        got = TPUGroupNorm(g, epsilon=1e-6).apply(variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+        # param tree is nn.GroupNorm-compatible (converter parity)
+        init = TPUGroupNorm(g, epsilon=1e-6).init(k, x)
+        assert set(init["params"].keys()) == {"scale", "bias"}
