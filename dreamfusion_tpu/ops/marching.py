@@ -348,6 +348,48 @@ def _probe_occupancy(occ: jax.Array, rays_o: jax.Array, rays_d: jax.Array,
     return jnp.take(occ.reshape(-1), flat_idx, axis=0)
 
 
+def probe_density(density_grid: jax.Array, rays_o: jax.Array,
+                  rays_d: jax.Array, ts: jax.Array,
+                  bound: float) -> jax.Array:
+    """Nearest-cell density-EMA lookups at points ts [N, S] -> f32 [N, S].
+    Single-cascade only (the staged-eval live-estimate path). Same cell
+    indexing as _probe_occupancy so the estimate is consistent with the
+    occupancy the march used."""
+    H = density_grid.shape[1]
+    grid_flat = density_grid[0].reshape(-1)
+    idx_axes = []
+    for d in range(3):
+        x_d = jnp.clip(rays_o[:, d:d + 1] + ts * rays_d[:, d:d + 1],
+                       -bound, bound)
+        n_d = jnp.clip(0.5 * (x_d / bound + 1.0) * H, 0.0, H - 1.0)
+        idx_axes.append(n_d.astype(jnp.int32))
+    flat_idx = (idx_axes[0] * H + idx_axes[1]) * H + idx_axes[2]
+    return jnp.take(grid_flat, flat_idx, axis=0)
+
+
+def pool_occ(occ: jax.Array, factor: int) -> jax.Array:
+    """factor^3 max-pool of the occupancy grid followed by a 3^3 dilation,
+    all at the COARSE resolution: Pd[c]=1 iff any fine voxel within one
+    coarse block of c is occupied. A stride-subsampled ray probe of Pd with
+    probe spacing <= 2 * coarse block side is then a sound zero-classifier
+    (same containment argument as max_coarse_stride, at block granularity):
+    any emitting fine sample lies within probe-spacing/2 along the ray of
+    some probe point, hence within one coarse block of it."""
+    pooled = jax.lax.reduce_window(
+        occ, False, jax.lax.bitwise_or,
+        window_dimensions=(1, factor, factor, factor),
+        window_strides=(1, factor, factor, factor), padding="VALID")
+    return dilate_occ(pooled)
+
+
+def max_pooled_stride(max_steps: int, grid_size: int, factor: int) -> int:
+    """Largest sound probe stride against pool_occ(occ, factor): needs
+    (stride/2) * dt_min <= block side = 2*bound/(H/factor) (mip 0, in
+    units of bound=1)."""
+    s = int((4.0 * max_steps * factor) / (2.0 * SQRT3 * grid_size))
+    return max(1, min(s, max_steps // 4))
+
+
 def dilate_occ(occ: jax.Array) -> jax.Array:
     """3x3x3 max-pool dilation of the occupancy grid, per cascade.
     Guarantees that a stride-subsampled ray probe of the dilated grid hits
@@ -387,6 +429,55 @@ def coarse_hit_counts(occ_dilated: jax.Array, rays_o: jax.Array,
     return jnp.sum(is_occ & alive, axis=1)
 
 
+def coarse_hit_window(occ_coarse: jax.Array, rays_o: jax.Array,
+                      rays_d: jax.Array, nears: jax.Array, fars: jax.Array,
+                      *, bound: float, max_steps: int,
+                      stride: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """coarse_hit_counts + per-ray [t_lo, t_hi] bracket of every possible
+    fine emit. Soundness (pool_occ containment argument): any emitting fine
+    sample lies within probe-spacing/2 along the ray of some HIT probe, so
+    [first_hit - spacing, last_hit + spacing] brackets all of them. Rays
+    with no hits return an empty bracket (t_lo = t_hi = near)."""
+    S = max_steps // stride
+    dt = 2.0 * SQRT3 / max_steps
+    spacing = stride * dt
+    ts = nears[:, None] + spacing * jnp.arange(S, dtype=jnp.float32)[None, :]
+    alive = ts < (fars[:, None] + spacing)
+    is_occ = _probe_occupancy(occ_coarse, rays_o, rays_d, ts, bound) & alive
+    counts = jnp.sum(is_occ, axis=1)
+    idx = jnp.arange(S, dtype=jnp.float32)[None, :]
+    first = jnp.min(jnp.where(is_occ, idx, jnp.inf), axis=1)
+    last = jnp.max(jnp.where(is_occ, idx, -jnp.inf), axis=1)
+    has = counts > 0
+    t_lo = jnp.where(has, nears + (first - 1.0) * spacing, nears)
+    t_lo = jnp.maximum(t_lo, nears)
+    t_hi = jnp.where(has, nears + (last + 1.0) * spacing, nears)
+    t_hi = jnp.minimum(t_hi, fars + spacing)
+    return counts, t_lo, t_hi
+
+
+def march_rays_window(occ: jax.Array, rays_o: jax.Array, rays_d: jax.Array,
+                      nears: jax.Array, fars: jax.Array, t_lo: jax.Array,
+                      *, bound: float, max_steps: int, S: int,
+                      K: int) -> MarchOut:
+    """Uniform-lattice march restricted to S lattice points starting at the
+    first lattice index >= t_lo (eval only; perturb=False so the lattice is
+    t0 = nears + k*dt — starting at an ALIGNED k0 keeps the sample set
+    identical to the full march wherever the [t_lo, t_lo + S*dt] window
+    brackets all emits, which coarse_hit_window guarantees when
+    S*dt >= t_hi - t_lo)."""
+    C, H = occ.shape[0], occ.shape[1]
+    dt = 2.0 * SQRT3 / max_steps
+    k0 = jnp.floor((t_lo - nears) / dt)                          # aligned
+    t0 = nears + k0 * dt
+    ts = t0[:, None] + dt * jnp.arange(S, dtype=jnp.float32)[None, :]
+    alive = ts < fars[:, None]
+    is_occ = _probe_occupancy(occ, rays_o, rays_d, ts, bound)
+    emits = is_occ & alive
+    dts = jnp.full_like(ts, dt)
+    return _compact(ts, dts, emits, K)
+
+
 def _march_rays_uniform(key, occ, rays_o, rays_d, nears, fars, *,
                         bound: float, max_steps: int, K: int,
                         perturb: bool) -> MarchOut:
@@ -423,6 +514,12 @@ def _compact(ts, dts, emits, K: int) -> MarchOut:
     eval chunk)."""
     key = jnp.where(emits, ts, jnp.inf)
     key_sorted, dt_sorted = jax.lax.sort((key, dts), dimension=1, num_keys=1)
+    S = ts.shape[1]
+    if S < K:          # windowed march with a lattice shorter than the
+        pad = K - S    # sample budget: pad the compacted columns
+        key_sorted = jnp.pad(key_sorted, ((0, 0), (0, pad)),
+                             constant_values=jnp.inf)
+        dt_sorted = jnp.pad(dt_sorted, ((0, 0), (0, pad)))
     counts = jnp.sum(emits, axis=1)
     k_ar = jnp.arange(K)[None, :]
     valid = k_ar < jnp.minimum(counts, K)[:, None]

@@ -123,7 +123,9 @@ def make_grads_fn(cfg: Config, model: _BaseNeRF, guidance: Guidance,
 
             loss = g_loss
             metrics = {"loss_guidance": g_loss}
-            if cfg.lambda_opacity > 0:  # (nerf/utils.py:385-387)
+            if cfg.lambda_opacity != 0:  # (nerf/utils.py:385-387); negative
+                # = opacity REWARD (scripts/profile_eval.py --opacify uses
+                # it to build a trained-like opaque benchmark state)
                 l_op = jnp.mean(pred_ws ** 2)
                 loss = loss + cfg.lambda_opacity * l_op
                 metrics["loss_opacity"] = l_op
@@ -300,27 +302,45 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             bg_cache[with_bg] = bg_only
         return bg_cache[with_bg]
 
-    # -- counting pass (v4.1) --------------------------------------------------
-    # One jitted pass probes the lattice (no compaction) to classify rays
-    # and bound their sample counts; rays sort by count, and every sorted
-    # group's max comes back in ONE transfer, so each tail group's K
-    # bucket is known before it is marched. Probe stride: for the single-
-    # cascade lattice the 3^3-DILATED grid at stride 2 is sound for
-    # zero-classification (profiling: the stride-1 pass was 70% of an eval
-    # frame), and each hit probe covers at most stride+1 fine lattice
-    # points, so (stride+1)*count upper-bounds the exact count — buckets
-    # picked from that bound can only be too roomy, never truncating.
-    # (stride-4 was tried first: on a young grid its dilation flagged 50%
-    # of rays vs 7% truly nonzero; stride 2 halves the probe cost for a
-    # much smaller overestimate.) C>1 uses exact stride-1 probes of the
-    # raw grid; dt_gamma>0 keeps the march-everything fallback.
-    from dreamfusion_tpu.ops.marching import (coarse_hit_counts, dilate_occ,
-                                              max_coarse_stride)
+    # -- counting pass (v5) ----------------------------------------------------
+    # v4.1 probed the FINE dilated lattice at stride 2 for every ray
+    # (max_steps/2 probes x H*W rays = 164M gathers at 800^2 — 1.64 s of
+    # the 5.3 s frame, r3 trace) and inflated shade buckets by the
+    # conservative (stride+1) count factor (a 40-count ray shaded at
+    # bucket 128). v5 splits the roles:
+    #   classify: probe a POOLED (factor^3 max + 3^3 dilate, pool_occ)
+    #     grid at a much larger sound stride — ~16x fewer probes; zero is
+    #     still a PROOF of emptiness, and the coarse hit count still
+    #     sorts rays well enough for group homogeneity;
+    #   bucket: each flagged group's shade bucket comes from its EXACT
+    #     march counts AND a transmittance-live estimate (probe_density
+    #     on the grid's sigma EMA with a 3x log-space safety margin —
+    #     samples past T_est have ~zero weight, the CUDA early break,
+    #     raymarching.cu:557), fetched for ALL groups in ONE transfer
+    #     after the marches are queued.
+    # C>1 keeps exact stride-1 fine probes; dt_gamma>0 keeps the
+    # march-everything fallback.
+    from dreamfusion_tpu.ops.marching import (SQRT3, coarse_hit_counts,
+                                              coarse_hit_window, dilate_occ,
+                                              march_rays_window,
+                                              max_coarse_stride,
+                                              max_pooled_stride, pool_occ,
+                                              probe_density)
 
     coarse_ok = cfg.dt_gamma == 0.0
-    stride = min(2, max_coarse_stride(cfg.max_steps, cfg.grid_size)) \
-        if cfg.cascade == 1 else 1
-    count_factor = (stride + 1) if stride > 1 else 1
+    pool_factor = 4 if cfg.cascade == 1 else 1
+    if pool_factor > 1:
+        stride = min(max_pooled_stride(cfg.max_steps, cfg.grid_size,
+                                       pool_factor), 16)
+    else:
+        stride = min(2, max_coarse_stride(cfg.max_steps, cfg.grid_size)) \
+            if cfg.cascade == 1 else 1
+    dt_lattice = 2.0 * SQRT3 / cfg.max_steps
+    # windowed-march lattice-length ladder (march cost and the compaction
+    # sort scale with S; the coarse window brackets all emits, so most
+    # groups march far fewer than max_steps lattice points)
+    S_ladder = sorted({max(cfg.max_steps // 4, 1), cfg.max_steps // 2,
+                       (3 * cfg.max_steps) // 4, cfg.max_steps})
 
     @jax.jit
     def count_sort(occ, o, d):
@@ -330,14 +350,54 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                 [o, jnp.zeros((pad, 3))], 0)
             d = jnp.concatenate([d, jnp.ones((pad, 3)) / 3 ** 0.5], 0)
         nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
-        grid = dilate_occ(occ) if stride > 1 else occ
-        counts = coarse_hit_counts(grid, o, d, nears, fars, bound=cfg.bound,
-                                   max_steps=cfg.max_steps, stride=stride)
+        if pool_factor > 1:
+            grid = pool_occ(occ, pool_factor)
+        else:
+            grid = dilate_occ(occ) if stride > 1 else occ
+        counts, t_lo, t_hi = coarse_hit_window(
+            grid, o, d, nears, fars, bound=cfg.bound,
+            max_steps=cfg.max_steps, stride=stride)
         perm = jnp.argsort(counts)                 # ascending: bg first
         take = lambda x: jnp.take(x, perm, axis=0)
         counts_s = take(counts)
         gmax = counts_s.reshape(-1, group).max(axis=1)
-        return perm, take(o), take(d), gmax
+        span_steps = jnp.ceil((t_hi - t_lo) / dt_lattice) + 2.0
+        gspan = jnp.take(span_steps, perm).reshape(-1, group).max(axis=1)
+        return (perm, take(o), take(d), take(t_lo),
+                jnp.stack([gmax.astype(jnp.float32), gspan], axis=1))
+
+    # optical-depth budget for the live estimate: -ln(1e-4) with a 3x
+    # log-space safety margin (the sigma EMA is a decayed point sample,
+    # not a cell max)
+    _LIVE_LOGT = 3.0 * 9.2103
+
+    march_cache: Dict[int, Any] = {}
+
+    def get_march(S: int):
+        """Windowed march at lattice length S + bucket drivers (exact
+        counts and the transmittance-live estimate), one compiled program
+        per ladder length."""
+        if S not in march_cache:
+            @jax.jit
+            def march_group(occ, density_grid, o, d, t_lo):
+                nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
+                m = march_rays_window(occ, o, d, nears, fars, t_lo,
+                                      bound=cfg.bound,
+                                      max_steps=cfg.max_steps, S=S,
+                                      K=cfg.grid_K)
+                sig_est = probe_density(density_grid, o, d, m.ts, cfg.bound)
+                depth_ex = jnp.cumsum(
+                    jnp.maximum(sig_est, 0.0) * m.dts * m.valid, axis=1)
+                depth_ex = jnp.concatenate(
+                    [jnp.zeros((o.shape[0], 1)), depth_ex[:, :-1]], axis=1)
+                live = m.valid & (depth_ex < _LIVE_LOGT)
+                glive = jnp.max(jnp.sum(live, axis=1))  # <= min(count, K)
+                gcount = jnp.max(jnp.minimum(m.counts, cfg.grid_K))
+                return m, nears, fars, jnp.stack(
+                    [glive.astype(jnp.float32), gcount.astype(jnp.float32)])
+
+            march_cache[S] = march_group
+        return march_cache[S]
 
     @jax.jit
     def unsort(image, depth, ws, perm):
@@ -389,11 +449,18 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                 get_shade(Kb, with_bg)(params, zk, zk, zv, zg, zg, z1, z1,
                                        shading_code, ambient_ratio,
                                        light_d, bg)
+            # march-ladder warm-up (one program per lattice-length bucket;
+            # a mid-sequence pose must never hit an uncompiled length)
+            for S in S_ladder:
+                get_march(S)(grid_state.occ, grid_state.density_grid,
+                             zg, jnp.ones((group, 3)) / 3 ** 0.5, z1)
 
-        # 1. one-dispatch exact count + sort (bg rays first); ONE transfer
-        # brings every group's max count
-        perm, o_s, d_s, gmax = count_sort(grid_state.occ, rays_o, rays_d)
-        gmax_host = np.asarray(gmax)
+        # 1. one-dispatch coarse classify + sort (bg rays first); ONE
+        # transfer brings every group's pooled-probe max count + emit-
+        # window span (in lattice steps)
+        perm, o_s, d_s, tlo_s, gstats = count_sort(grid_state.occ, rays_o,
+                                                   rays_d)
+        gstats_host = np.asarray(gstats)           # [n_groups, (max, span)]
 
         # 2. background for the whole frame in one dispatch (cheap: bg net
         # on directions only); shaded tail groups overwrite it
@@ -401,25 +468,41 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         image, depth, ws = (out_bg["image"], out_bg["depth"],
                             out_bg["weights_sum"])
 
-        # 3. fine-march + shade only the groups with samples (the sorted
-        # tail), each at the K bucket its exact max count dictates
-        for seg, g in enumerate(reversed(range(len(gmax_host)))):
-            maxc = int(gmax_host[g])
-            if maxc == 0:
+        # 3. queue the march for EVERY flagged group (at the lattice-length
+        # bucket its emit window dictates), then fetch all shade-bucket
+        # drivers (exact counts + transmittance-live estimates) in one
+        # stacked transfer — no per-group sync
+        marched = []
+        for seg, g in enumerate(reversed(range(gstats_host.shape[0]))):
+            if gstats_host[g, 0] == 0.0:
                 break                              # sorted: the rest is bg
             start = Np - (seg + 1) * group         # static size, traced start
             o_g = jax.lax.dynamic_slice_in_dim(o_s, start, group, 0)
             d_g = jax.lax.dynamic_slice_in_dim(d_s, start, group, 0)
-            m, nears_g, fars_g = march_chunk(grid_state.occ, o_g, d_g)
-            Kb = _pick_K_bucket(float(maxc * count_factor), cfg.grid_K)
-            out = get_shade(Kb, with_bg)(
-                params, m.ts, m.dts, m.valid, o_g, d_g, nears_g, fars_g,
-                shading_code, ambient_ratio, light_d, bg)
-            image, depth, ws = paste(image, depth, ws, out["image"],
-                                     out["depth"], out["weights_sum"],
-                                     start)
+            t_g = jax.lax.dynamic_slice_in_dim(tlo_s, start, group, 0)
+            span = float(gstats_host[g, 1])
+            S = next((s for s in S_ladder if s >= span), S_ladder[-1])
+            m, nears_g, fars_g, stats = get_march(S)(
+                grid_state.occ, grid_state.density_grid, o_g, d_g, t_g)
+            marched.append((start, o_g, d_g, m, nears_g, fars_g, stats))
 
-        image, depth, ws = unsort(image, depth, ws, perm)  # 4. one dispatch
+        if marched:
+            stats_host = np.asarray(jnp.stack([t[6] for t in marched]))
+            # 4. shade each flagged group at its live bucket (exact march
+            # counts capped by the transmittance-live estimate)
+            for (start, o_g, d_g, m, nears_g, fars_g, _), (glive, gcount) \
+                    in zip(marched, stats_host):
+                if gcount == 0.0:
+                    continue                       # coarse flag, truly empty
+                Kb = _pick_K_bucket(float(max(glive, 1.0)), cfg.grid_K)
+                out = get_shade(Kb, with_bg)(
+                    params, m.ts, m.dts, m.valid, o_g, d_g, nears_g,
+                    fars_g, shading_code, ambient_ratio, light_d, bg)
+                image, depth, ws = paste(image, depth, ws, out["image"],
+                                         out["depth"], out["weights_sum"],
+                                         start)
+
+        image, depth, ws = unsort(image, depth, ws, perm)  # 5. one dispatch
         return {"image": image, "depth": depth, "weights_sum": ws}
 
     def _render_full(params, rays_o, rays_d, grid_state, shading_code,

@@ -34,6 +34,12 @@ def main():
         ".jax_cache"))
     ap.add_argument("--no_trace", action="store_true",
                     help="wall-clock only (skip the profiler)")
+    ap.add_argument("--opacify", action="store_true",
+                    help="train with a NEGATIVE opacity penalty so the "
+                         "field becomes opaque like a trained scene — the "
+                         "regime the reference's ~10 FPS (readme.md:21) is "
+                         "measured in, where transmittance-live buckets "
+                         "and tight emit windows actually engage")
     args = ap.parse_args()
 
     os.makedirs(args.cache_dir, exist_ok=True)
@@ -47,7 +53,9 @@ def main():
     cfg = Config(text="a DSLR photo of a hamburger", guidance="none",
                  backbone="grid", grid_ray=True, h=64, w=64, iters=10000,
                  dir_text=True, fp16=True, max_steps=512, grid_K=128,
-                 grid_size=128, lambda_orient=0.0, workspace=ws).finalize()
+                 grid_size=128, lambda_orient=0.0,
+                 lambda_opacity=(-1.0 if args.opacify else 0.0),
+                 workspace=ws).finalize()
     trainer = Trainer("prof", cfg, use_checkpoint="scratch")
     trainer.train(max_steps=args.warm_steps, log_interval=10 ** 9,
                   checkpoint_at_end=False)

@@ -418,3 +418,99 @@ def test_pick_grid_K_live_policy():
     assert pick(_T(), 131.0, 131.0, 128) == 128
     # never exceed the count bucket when shrinking
     assert pick(_T(), 60.0, 40.0, 128) == 48
+
+
+def test_pooled_coarse_pass_soundness():
+    """pool_occ + max_pooled_stride probing must never miss a ray that the
+    exact fine march would emit samples for (zero-classification is a
+    PROOF of emptiness) — on random occupancy and random rays."""
+    from dreamfusion_tpu.ops.composite import near_far_from_aabb
+    from dreamfusion_tpu.ops.marching import (coarse_hit_counts, march_rays,
+                                              max_pooled_stride, pool_occ)
+
+    key = jax.random.PRNGKey(3)
+    Hg, max_steps, factor = 32, 128, 4
+    occ = jax.random.uniform(key, (1, Hg, Hg, Hg)) < 0.02
+    pooled = pool_occ(occ, factor)
+    stride = max_pooled_stride(max_steps, Hg, factor)
+    assert stride > 1
+
+    k1, k2 = jax.random.split(key)
+    N = 256
+    o = jax.random.uniform(k1, (N, 3)) * 4.0 - 2.0
+    d = jax.random.normal(k2, (N, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    aabb = jnp.array([-1.0] * 3 + [1.0] * 3)
+    nears, fars = near_far_from_aabb(o, d, aabb, 0.05)
+
+    m = march_rays(None, occ, o, d, nears, fars, bound=1.0,
+                   max_steps=max_steps, K=64, dt_gamma=0.0, perturb=False)
+    coarse = coarse_hit_counts(pooled, o, d, nears, fars, bound=1.0,
+                               max_steps=max_steps, stride=stride)
+    exact = np.asarray(m.counts)
+    flag = np.asarray(coarse)
+    missed = (exact > 0) & (flag == 0)
+    assert not missed.any(), f"{missed.sum()} rays missed by pooled pass"
+
+
+def test_probe_density_matches_cellwise():
+    """probe_density returns the density-EMA of the same cell the
+    occupancy probe indexes (consistency of the live estimate with the
+    march)."""
+    from dreamfusion_tpu.ops.marching import probe_density
+
+    key = jax.random.PRNGKey(5)
+    Hg = 16
+    grid = jax.random.uniform(key, (1, Hg, Hg, Hg)) * 30.0
+    o = jnp.array([[-1.5, 0.1, 0.05]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    ts = jnp.linspace(0.6, 2.4, 24)[None, :]
+    got = np.asarray(probe_density(grid, o, d, ts, 1.0))[0]
+    g = np.asarray(grid[0])
+    for s in range(24):
+        x = np.clip(np.asarray(o[0]) + float(ts[0, s]) * np.asarray(d[0]),
+                    -1.0, 1.0)
+        n = np.clip(0.5 * (x / 1.0 + 1.0) * Hg, 0, Hg - 1).astype(int)
+        assert got[s] == g[n[0], n[1], n[2]]
+
+
+def test_windowed_march_equals_full_march():
+    """march_rays_window with the coarse_hit_window bracket and a
+    sufficient lattice-length bucket reproduces the full uniform march
+    exactly (aligned lattice; the window provably brackets all emits)."""
+    from dreamfusion_tpu.ops.composite import near_far_from_aabb
+    from dreamfusion_tpu.ops.marching import (coarse_hit_window, march_rays,
+                                              march_rays_window,
+                                              max_pooled_stride, pool_occ)
+
+    key = jax.random.PRNGKey(11)
+    Hg, max_steps, factor, K = 32, 128, 4, 64
+    occ = jax.random.uniform(key, (1, Hg, Hg, Hg)) < 0.03
+    pooled = pool_occ(occ, factor)
+    stride = max_pooled_stride(max_steps, Hg, factor)
+
+    k1, k2 = jax.random.split(key)
+    N = 128
+    o = jax.random.uniform(k1, (N, 3)) * 4.0 - 2.0
+    d = jax.random.normal(k2, (N, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    aabb = jnp.array([-1.0] * 3 + [1.0] * 3)
+    nears, fars = near_far_from_aabb(o, d, aabb, 0.05)
+
+    m_full = march_rays(None, occ, o, d, nears, fars, bound=1.0,
+                        max_steps=max_steps, K=K, dt_gamma=0.0,
+                        perturb=False)
+    _, t_lo, t_hi = coarse_hit_window(pooled, o, d, nears, fars, bound=1.0,
+                                      max_steps=max_steps, stride=stride)
+    dt = 2.0 * np.sqrt(3.0) / max_steps
+    span = int(np.ceil(float(jnp.max((t_hi - t_lo) / dt)))) + 2
+    S = min(max(span, 1), max_steps)
+    m_win = march_rays_window(occ, o, d, nears, fars, t_lo, bound=1.0,
+                              max_steps=max_steps, S=S, K=K)
+
+    np.testing.assert_array_equal(np.asarray(m_full.valid),
+                                  np.asarray(m_win.valid))
+    np.testing.assert_allclose(np.asarray(m_full.ts),
+                               np.asarray(m_win.ts), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m_full.counts),
+                                  np.asarray(m_win.counts))
