@@ -118,7 +118,7 @@ def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
         return _encode_oct(emb, base_all, w_all), (emb, base_all, w_all)
 
     def _bwd(res, cot):
-        from dreamfusion_tpu.ops.pallas_scatter import matmul_scatter_add_wide
+        from dreamfusion_tpu.ops.pallas_scatter import matmul_scatter_add_oct
 
         emb, base_all, w_all = res                           # cot [B, L, C]
         L = base_all.shape[0]
@@ -137,12 +137,12 @@ def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
                     d_l = d_l.at[idx].add(upd)
                 parts.append(d_l)
                 continue
-            # channel-major [8*C, B] updates: row c*C+j = w_c * cot_j
-            upd_cm = (w_all[lvl][:, None, :]
-                      * cot[:, lvl, :].T[None, :, :]).reshape(-1,
-                                                              cot.shape[0])
-            d_oct = matmul_scatter_add_wide(
-                base_all[lvl], upd_cm, size,
+            # factored update (upd[c*C+j] = w_c * cot_j): the kernel forms
+            # the outer product on VMEM vectors instead of a [8C, B] HBM
+            # materialization + lane transpose per level
+            d_oct = matmul_scatter_add_oct(
+                base_all[lvl], w_all[lvl].astype(jnp.float32),
+                cot[:, lvl, :].astype(jnp.float32), size,
                 interpret=(pallas == "interpret"))           # [size, 8C]
             d_l = jnp.zeros((size, C), jnp.float32)
             for ci, o in enumerate(corner_offs[lvl]):        # inverse rolls

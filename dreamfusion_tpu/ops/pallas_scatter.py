@@ -228,6 +228,99 @@ def _scatter_kernel_wide2(hi_ref, lo_ref, fine_ref, u_ref, out_ref):
 WIDE_VERSION = 2
 
 
+def _scatter_kernel_oct(coarse_ref, fine_ref, w_ref, c_ref, out_ref):
+    """v1-structure wide kernel taking the oct update's FACTORS instead of
+    the materialized [C_ROW, J] outer product: upd[c*2+j, u] = w_c[u] *
+    cot_j[u] is formed on [SUB]-vectors in VMEM (w_ref [1, 8, 8, SUB],
+    c_ref [1, 8, 2, SUB]). Saves the ~66 MB/level HBM write+read of the
+    outer product and its lane transpose (bench r3: ~9 ms/step of 'data
+    formatting' at grid_encoder.py:453)."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    R = out_ref.shape[0]
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, _SUB), 0)
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _FINE_W * _C_ROW), 1)
+    fine_of_j = jcol // _C_ROW
+    c_of_j = jcol % _C_ROW
+    for s in range(8):
+        coarse = coarse_ref[0, s]       # [_SUB] i32 (padded entries = -1)
+        fine = fine_ref[0, s]           # [_SUB] i32
+        a = (rows == coarse[None, :]).astype(jnp.bfloat16)       # [R, _SUB]
+        fmask = fine[:, None] == fine_of_j                       # [_SUB, 128]
+        uval = jnp.zeros((_SUB, _FINE_W * _C_ROW), jnp.float32)
+        for c in range(_C_ROW):
+            v = w_ref[0, s, c >> 1] * c_ref[0, s, c & 1]         # [_SUB]
+            uval = jnp.where(c_of_j == c, v[:, None], uval)
+        b = jnp.where(fmask, uval, 0.0).astype(jnp.bfloat16)     # [_SUB, 128]
+        acc += jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    out_ref[:] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("table_size", "interpret"))
+def matmul_scatter_add_oct(local_idx: jax.Array, w8: jax.Array,
+                           cot2: jax.Array, table_size: int,
+                           interpret: bool = False) -> jax.Array:
+    """d = zeros([T, 16]).at[idx].add((w8[:, None, :] * cot2.T[None]).
+    reshape(16, J).T) without materializing the outer product: the kernel
+    forms upd[c*2+j] = w_c * cot_j from the factors in VMEM.
+
+    local_idx: [J] i32 in [0, T); w8: [8, J] f32 corner weights; cot2:
+    [J, 2] f32 channel cotangents. Returns [T, 16] f32."""
+    J = local_idx.shape[0]
+    n_chunks = -(-J // _CHUNK)
+    pad = n_chunks * _CHUNK - J
+    if pad:
+        local_idx = jnp.pad(local_idx, (0, pad), constant_values=-1)
+        w8 = jnp.pad(w8, ((0, 0), (0, pad)))
+        cot2 = jnp.pad(cot2, ((0, pad), (0, 0)))
+
+    coarse = jnp.where(local_idx < 0, -1, local_idx // _FINE_W)
+    fine = local_idx % _FINE_W
+    R = -(-table_size // _FINE_W)
+    R_pad = -(-R // 8) * 8
+
+    if 2 * R_pad * _FINE_W * _C_ROW * 4 > _WIDE_VMEM_BYTES:
+        idx_safe = jnp.maximum(local_idx, 0)
+        upd = jnp.where(local_idx[:, None] < 0, 0.0,
+                        (w8.T[:, :, None] * cot2[:, None, :]).reshape(-1, 16))
+        return jnp.zeros((table_size, _C_ROW), jnp.float32).at[
+            idx_safe].add(upd)
+
+    # [8, J] -> [n, 8s, 8c, SUB] (leading-axis permute; trailing lane dim
+    # intact, so no lane-crossing relayout); [J, 2] -> [n, 8s, 2, SUB]
+    w4 = w8.reshape(8, n_chunks, 8, _SUB).transpose(1, 2, 0, 3)
+    c4 = cot2.T.reshape(2, n_chunks, 8, _SUB).transpose(1, 2, 0, 3)
+
+    out = pl.pallas_call(
+        _scatter_kernel_oct,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 8, _SUB), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, _SUB), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 8, _SUB), lambda j: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 2, _SUB), lambda j: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R_pad, _FINE_W * _C_ROW), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R_pad, _FINE_W * _C_ROW),
+                                       jnp.float32),
+        interpret=interpret,
+    )(coarse.reshape(n_chunks, 8, _SUB), fine.reshape(n_chunks, 8, _SUB),
+      w4, c4)
+
+    return out.reshape(R_pad * _FINE_W, _C_ROW)[:table_size]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("table_size", "interpret", "version"))
 def matmul_scatter_add_wide(local_idx: jax.Array, upd_cm: jax.Array,

@@ -39,7 +39,17 @@ def main():
                          "field becomes opaque like a trained scene — the "
                          "regime the reference's ~10 FPS (readme.md:21) is "
                          "measured in, where transmittance-live buckets "
-                         "and tight emit windows actually engage")
+                         "and tight emit windows actually engage. NOTE: "
+                         "with random guidance this opacifies EVERYWHERE "
+                         "(occ -> 1.0, the worst case); --ball builds the "
+                         "trained-scene work shape instead")
+    ap.add_argument("--ball", action="store_true",
+                    help="overwrite the grid state with an analytic "
+                         "opaque ball (r=0.4, sigma=150): occupancy, emit "
+                         "windows, and live estimates take the shape of a "
+                         "TRAINED scene while shading still queries the "
+                         "real field — the honest work-shape benchmark "
+                         "for the reference's trained-scene ~10 FPS")
     args = ap.parse_args()
 
     os.makedirs(args.cache_dir, exist_ok=True)
@@ -59,6 +69,20 @@ def main():
     trainer = Trainer("prof", cfg, use_checkpoint="scratch")
     trainer.train(max_steps=args.warm_steps, log_interval=10 ** 9,
                   checkpoint_at_end=False)
+    if args.ball:
+        from dreamfusion_tpu.ops.marching import GridState, update_grid
+
+        def ball_density(x):
+            r = jnp.linalg.norm(x, axis=-1)
+            return {"sigma": jnp.where(r < 0.4, 150.0, 0.0)}
+
+        gs = GridState(
+            density_grid=jnp.zeros_like(trainer.grid_state.density_grid),
+            occ=jnp.zeros_like(trainer.grid_state.occ),
+            mean_density=jnp.float32(0.0))
+        trainer.grid_state = update_grid(
+            ball_density, gs, jax.random.PRNGKey(7), bound=cfg.bound,
+            density_thresh=cfg.density_thresh)
     occ_frac = float(jnp.mean(trainer.grid_state.occ.astype(jnp.float32)))
     print(f"occupancy fraction after warm: {occ_frac:.4f}", flush=True)
 

@@ -124,3 +124,35 @@ def test_wide_v2_factorized_matches_oracle_and_v1(J, T):
     # v1 and v2 do the same bf16 rounding; they should agree very tightly
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_oct_factored_matches_wide_and_oracle():
+    """matmul_scatter_add_oct (factors in VMEM) == matmul_scatter_add_wide
+    on the materialized outer product == the XLA scatter oracle."""
+    from dreamfusion_tpu.ops.pallas_scatter import (matmul_scatter_add_oct,
+                                                    matmul_scatter_add_wide)
+
+    key = jax.random.PRNGKey(9)
+    k1, k2, k3 = jax.random.split(key, 3)
+    J, T = 3000, 4096
+    idx = jax.random.randint(k1, (J,), 0, T, dtype=jnp.int32)
+    w8 = jax.random.normal(k2, (8, J))
+    cot2 = jax.random.normal(k3, (J, 2))
+
+    got = matmul_scatter_add_oct(idx, w8, cot2, T, interpret=True)
+    upd_cm = (w8[:, None, :] * cot2.T[None, :, :]).reshape(16, J)
+    wide = matmul_scatter_add_wide(idx, upd_cm, T, interpret=True)
+    oracle = jnp.zeros((T, 16)).at[idx].add(upd_cm.T)
+
+    scale = float(jnp.max(jnp.abs(oracle))) + 1e-9
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(oracle) / scale, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(wide),
+                               atol=1e-4 * scale)
+
+    # VMEM-fallback path (huge table): XLA scatter with masked padding
+    T_big = 1 << 21
+    got_big = matmul_scatter_add_oct(idx, w8, cot2, T_big, interpret=True)
+    oracle_big = jnp.zeros((T_big, 16)).at[idx].add(upd_cm.T)
+    np.testing.assert_allclose(np.asarray(got_big[:T]),
+                               np.asarray(oracle_big[:T]), atol=1e-5 * scale)
