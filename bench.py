@@ -174,9 +174,23 @@ def main():
                  eval_warm_buckets=(16, 48, 96, 128), **shape).finalize()
     trainer = Trainer("bench", cfg, use_checkpoint="scratch")
 
-    # warmup: compiles the step (default K), grid refresh, adaptive-K switch
-    trainer.train(max_steps=args.warmup, log_interval=10 ** 9,
+    # warmup: compiles the step (default K), grid refresh, adaptive-K switch.
+    # The last 10 warmup steps are timed and emitted as a PROVISIONAL result
+    # line — if anything later (bucket pre-warm, measure window, eval) dies
+    # or is killed, the driver still parses a real steady-state number.
+    n_prov = 10 if args.warmup > 10 else 0
+    trainer.train(max_steps=args.warmup - n_prov, log_interval=10 ** 9,
                   checkpoint_at_end=False)
+    if n_prov:
+        _sync(trainer)
+        t0 = time.perf_counter()
+        trainer.train(max_steps=args.warmup, log_interval=10 ** 9,
+                      checkpoint_at_end=False)
+        _sync(trainer)
+        prov = (time.perf_counter() - t0) / n_prov
+        emit({"metric": "sds_iters_per_sec", "value": round(1.0 / prov, 3),
+              "unit": "it/s", "provisional": True,
+              "vs_baseline": round(1.0 / prov / REFERENCE_ITERS_PER_SEC, 3)})
     # pre-warm the K buckets adjacent to the settled one so a mid-window
     # bucket drift never compiles inside the measurement (results discarded;
     # state not advanced)
@@ -237,6 +251,46 @@ def main():
         if "eval_fps_800" in result:
             result["eval_fps_800_vs_baseline"] = round(
                 result["eval_fps_800"] / REFERENCE_EVAL_FPS, 3)
+
+        # trained-scene work shape: the reference's ~10 FPS (readme.md:21)
+        # is measured on a TRAINED scene (tight occupancy, opaque surface),
+        # not the 130-step fog this bench trains; swap in an analytic
+        # opaque ball's grid state (occ ~3%) so emit windows and
+        # transmittance-live buckets take trained-scene shape while
+        # shading still queries the real field
+        if remaining() > 150:
+            try:
+                from dreamfusion_tpu.ops.marching import (GridState,
+                                                          update_grid)
+
+                def _ball(x):
+                    r = jnp.linalg.norm(x, axis=-1)
+                    return {"sigma": jnp.where(r < 0.4, 150.0, 0.0)}
+
+                saved = trainer.grid_state
+                trainer.grid_state = update_grid(
+                    _ball,
+                    GridState(
+                        density_grid=jnp.zeros_like(saved.density_grid),
+                        occ=jnp.zeros_like(saved.occ),
+                        mean_density=jnp.float32(0.0)),
+                    jax.random.PRNGKey(7), bound=cfg.bound,
+                    density_thresh=cfg.density_thresh)
+                H = 800
+                for w in (0, 1):
+                    out = trainer._render_orbit_frame(w, 100, H, H)
+                    _ = float(jnp.sum(out["image"]))
+                t0 = time.perf_counter()
+                for f in (2, 3):
+                    out = trainer._render_orbit_frame(f, 100, H, H)
+                    _ = float(jnp.sum(out["image"]))
+                ft = (time.perf_counter() - t0) / 2
+                result["eval_fps_800_trained_shape"] = round(1.0 / ft, 3)
+                trainer.grid_state = saved
+                emit(result)
+            except Exception as e:
+                result["eval_fps_800_trained_shape_error"] = (
+                    f"{type(e).__name__}: {e}")
 
     emit(result)
 

@@ -310,7 +310,7 @@ def march_rays(key: Optional[jax.Array], occ: jax.Array, rays_o: jax.Array,
     ts = ts.T        # [N, max_steps]
     dts = dts.T
     emits = emits.T
-    return _compact(ts, dts, emits, K)
+    return _compact(ts, dts, emits, K)[0]
 
 
 def _probe_occupancy(occ: jax.Array, rays_o: jax.Array, rays_d: jax.Array,
@@ -458,24 +458,39 @@ def coarse_hit_window(occ_coarse: jax.Array, rays_o: jax.Array,
 
 def march_rays_window(occ: jax.Array, rays_o: jax.Array, rays_d: jax.Array,
                       nears: jax.Array, fars: jax.Array, t_lo: jax.Array,
-                      *, bound: float, max_steps: int, S: int,
-                      K: int) -> MarchOut:
+                      *, bound: float, max_steps: int, S: int, K: int,
+                      density_grid: Optional[jax.Array] = None,
+                      occ_thresh: Optional[jax.Array] = None,
+                      ) -> Tuple[MarchOut, Optional[jax.Array]]:
     """Uniform-lattice march restricted to S lattice points starting at the
     first lattice index >= t_lo (eval only; perturb=False so the lattice is
     t0 = nears + k*dt — starting at an ALIGNED k0 keeps the sample set
     identical to the full march wherever the [t_lo, t_lo + S*dt] window
     brackets all emits, which coarse_hit_window guarantees when
-    S*dt >= t_hi - t_lo)."""
+    S*dt >= t_hi - t_lo).
+
+    With density_grid + occ_thresh (the scalar occupancy threshold,
+    min(mean_density, density_thresh)), the single-cascade probe gathers
+    the sigma EMA instead of the bool grid — occupancy is EXACTLY
+    sigma_ema > occ_thresh (how update_grid derives occ) — and the
+    per-sample sigma estimate rides through compaction as a sort payload,
+    so the caller's transmittance-live estimate needs no second gather
+    pass. Returns (MarchOut, sigma_est [N, K] or None)."""
     C, H = occ.shape[0], occ.shape[1]
     dt = 2.0 * SQRT3 / max_steps
     k0 = jnp.floor((t_lo - nears) / dt)                          # aligned
     t0 = nears + k0 * dt
     ts = t0[:, None] + dt * jnp.arange(S, dtype=jnp.float32)[None, :]
     alive = ts < fars[:, None]
+    dts = jnp.full_like(ts, dt)
+    if density_grid is not None and C == 1:
+        sig = probe_density(density_grid, rays_o, rays_d, ts, bound)
+        emits = (sig > occ_thresh) & alive
+        return _compact(ts, dts, emits, K, payload=sig)
     is_occ = _probe_occupancy(occ, rays_o, rays_d, ts, bound)
     emits = is_occ & alive
-    dts = jnp.full_like(ts, dt)
-    return _compact(ts, dts, emits, K)
+    m, _ = _compact(ts, dts, emits, K)
+    return m, None
 
 
 def _march_rays_uniform(key, occ, rays_o, rays_d, nears, fars, *,
@@ -499,10 +514,11 @@ def _march_rays_uniform(key, occ, rays_o, rays_d, nears, fars, *,
 
     emits = is_occ & alive
     dts = jnp.full_like(ts, dt)
-    return _compact(ts, dts, emits, K)
+    return _compact(ts, dts, emits, K)[0]
 
 
-def _compact(ts, dts, emits, K: int) -> MarchOut:
+def _compact(ts, dts, emits, K: int, payload: Optional[jax.Array] = None
+             ) -> Tuple[MarchOut, Optional[jax.Array]]:
     """Compact emitted samples to the first K slots per ray (replaces the
     CUDA atomicAdd slot reservation, raymarching.cu:405-406).
 
@@ -511,21 +527,30 @@ def _compact(ts, dts, emits, K: int) -> MarchOut:
     samples, in order, to the front. A sort pass over [N, S] is ~20x
     cheaper on TPU than the equivalent cumsum-slot scatter (XLA scatter
     serializes row updates at ~57M rows/s; this was 0.6 s per 65k-ray
-    eval chunk)."""
+    eval chunk). An optional per-sample payload (e.g. the probed sigma
+    EMA) rides along through the same sort."""
     key = jnp.where(emits, ts, jnp.inf)
-    key_sorted, dt_sorted = jax.lax.sort((key, dts), dimension=1, num_keys=1)
+    ops = (key, dts) + ((payload,) if payload is not None else ())
+    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
+    key_sorted, dt_sorted = sorted_ops[0], sorted_ops[1]
+    pay_sorted = sorted_ops[2] if payload is not None else None
     S = ts.shape[1]
     if S < K:          # windowed march with a lattice shorter than the
         pad = K - S    # sample budget: pad the compacted columns
         key_sorted = jnp.pad(key_sorted, ((0, 0), (0, pad)),
                              constant_values=jnp.inf)
         dt_sorted = jnp.pad(dt_sorted, ((0, 0), (0, pad)))
+        if pay_sorted is not None:
+            pay_sorted = jnp.pad(pay_sorted, ((0, 0), (0, pad)))
     counts = jnp.sum(emits, axis=1)
     k_ar = jnp.arange(K)[None, :]
     valid = k_ar < jnp.minimum(counts, K)[:, None]
     ts_out = jnp.where(valid, key_sorted[:, :K], 0.0)
     dt_out = jnp.where(valid, dt_sorted[:, :K], 0.0)
-    return MarchOut(ts=ts_out, dts=dt_out, valid=valid, counts=counts)
+    pay_out = (jnp.where(valid, pay_sorted[:, :K], 0.0)
+               if pay_sorted is not None else None)
+    return MarchOut(ts=ts_out, dts=dt_out, valid=valid,
+                    counts=counts), pay_out
 
 
 # ---------------------------------------------------------------------------

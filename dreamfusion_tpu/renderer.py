@@ -112,7 +112,11 @@ def render_stratified(
 
     deltas = z_vals[:, 1:] - z_vals[:, :-1]
     deltas = jnp.concatenate([deltas, jnp.broadcast_to(sample_dist, (N, 1))], -1)
-    ori_z = jnp.clip((z_vals - nears) / (fars - nears), 0.0, 1.0)
+    # miss rays have near == far (both 1e9, near_far_from_aabb) — guard the
+    # normalization so their depth is 0, not 0/0 (NaN survives the weighted
+    # sum because NaN * 0 = NaN)
+    ori_z = jnp.clip((z_vals - nears) / jnp.maximum(fars - nears, 1e-6),
+                     0.0, 1.0)
     out = composite(sigma, color, deltas, ts=ori_z)
 
     results: Dict[str, jax.Array] = {}

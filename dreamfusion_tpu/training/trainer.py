@@ -339,8 +339,10 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
     # windowed-march lattice-length ladder (march cost and the compaction
     # sort scale with S; the coarse window brackets all emits, so most
     # groups march far fewer than max_steps lattice points)
-    S_ladder = sorted({max(cfg.max_steps // 4, 1), cfg.max_steps // 2,
-                       (3 * cfg.max_steps) // 4, cfg.max_steps})
+    S_ladder = sorted({max(cfg.max_steps // 8, 1), cfg.max_steps // 4,
+                       (3 * cfg.max_steps) // 8, cfg.max_steps // 2,
+                       (5 * cfg.max_steps) // 8, (3 * cfg.max_steps) // 4,
+                       cfg.max_steps})
 
     @jax.jit
     def count_sort(occ, o, d):
@@ -357,11 +359,16 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         counts, t_lo, t_hi = coarse_hit_window(
             grid, o, d, nears, fars, bound=cfg.bound,
             max_steps=cfg.max_steps, stride=stride)
-        perm = jnp.argsort(counts)                 # ascending: bg first
+        span_steps = jnp.ceil((t_hi - t_lo) / dt_lattice) + 2.0
+        # sort key = (count, span): same-count rays cluster by emit-window
+        # length so a group's max span (its march lattice bucket) is not
+        # inflated by one grazing ray
+        key = counts.astype(jnp.float32) * 4096.0 + jnp.minimum(
+            span_steps, 4095.0)
+        perm = jnp.argsort(key)                    # ascending: bg first
         take = lambda x: jnp.take(x, perm, axis=0)
         counts_s = take(counts)
         gmax = counts_s.reshape(-1, group).max(axis=1)
-        span_steps = jnp.ceil((t_hi - t_lo) / dt_lattice) + 2.0
         gspan = jnp.take(span_steps, perm).reshape(-1, group).max(axis=1)
         return (perm, take(o), take(d), take(t_lo),
                 jnp.stack([gmax.astype(jnp.float32), gspan], axis=1))
@@ -379,20 +386,24 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         per ladder length."""
         if S not in march_cache:
             @jax.jit
-            def march_group(occ, density_grid, o, d, t_lo):
+            def march_group(occ, density_grid, mean_density, o, d, t_lo):
                 nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
-                m = march_rays_window(occ, o, d, nears, fars, t_lo,
-                                      bound=cfg.bound,
-                                      max_steps=cfg.max_steps, S=S,
-                                      K=cfg.grid_K)
-                sig_est = probe_density(density_grid, o, d, m.ts, cfg.bound)
-                depth_ex = jnp.cumsum(
-                    jnp.maximum(sig_est, 0.0) * m.dts * m.valid, axis=1)
-                depth_ex = jnp.concatenate(
-                    [jnp.zeros((o.shape[0], 1)), depth_ex[:, :-1]], axis=1)
-                live = m.valid & (depth_ex < _LIVE_LOGT)
-                glive = jnp.max(jnp.sum(live, axis=1))  # <= min(count, K)
+                thresh = jnp.minimum(mean_density, cfg.density_thresh)
+                m, sig_est = march_rays_window(
+                    occ, o, d, nears, fars, t_lo, bound=cfg.bound,
+                    max_steps=cfg.max_steps, S=S, K=cfg.grid_K,
+                    density_grid=density_grid, occ_thresh=thresh)
                 gcount = jnp.max(jnp.minimum(m.counts, cfg.grid_K))
+                if sig_est is None:      # multi-cascade: the mip-aware
+                    glive = gcount       # sigma probe isn't built; shade
+                else:                    # at the exact count bucket
+                    depth_ex = jnp.cumsum(
+                        jnp.maximum(sig_est, 0.0) * m.dts * m.valid, axis=1)
+                    depth_ex = jnp.concatenate(
+                        [jnp.zeros((o.shape[0], 1)), depth_ex[:, :-1]],
+                        axis=1)
+                    live = m.valid & (depth_ex < _LIVE_LOGT)
+                    glive = jnp.max(jnp.sum(live, axis=1))  # <= count
                 return m, nears, fars, jnp.stack(
                     [glive.astype(jnp.float32), gcount.astype(jnp.float32)])
 
@@ -450,10 +461,16 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                                        shading_code, ambient_ratio,
                                        light_d, bg)
             # march-ladder warm-up (one program per lattice-length bucket;
-            # a mid-sequence pose must never hit an uncompiled length)
-            for S in S_ladder:
+            # a mid-sequence pose must never hit an uncompiled length).
+            # Trimmed warm mode (eval_warm_buckets set) compiles only the
+            # full-length program; shorter ones compile on demand and land
+            # in the persistent cache.
+            warm_S = ([S_ladder[-1]] if cfg.eval_warm_buckets
+                      else S_ladder)
+            for S in warm_S:
                 get_march(S)(grid_state.occ, grid_state.density_grid,
-                             zg, jnp.ones((group, 3)) / 3 ** 0.5, z1)
+                             grid_state.mean_density, zg,
+                             jnp.ones((group, 3)) / 3 ** 0.5, z1)
 
         # 1. one-dispatch coarse classify + sort (bg rays first); ONE
         # transfer brings every group's pooled-probe max count + emit-
@@ -483,7 +500,8 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             span = float(gstats_host[g, 1])
             S = next((s for s in S_ladder if s >= span), S_ladder[-1])
             m, nears_g, fars_g, stats = get_march(S)(
-                grid_state.occ, grid_state.density_grid, o_g, d_g, t_g)
+                grid_state.occ, grid_state.density_grid,
+                grid_state.mean_density, o_g, d_g, t_g)
             marched.append((start, o_g, d_g, m, nears_g, fars_g, stats))
 
         if marched:

@@ -52,6 +52,7 @@ def test_bench_tiny_sd_smoke(monkeypatch, capsys, tmp_path):
     assert final["value"] > 0
 
 
+@pytest.mark.slow
 def test_bench_deadline_skips_optional_stages(monkeypatch, capsys, tmp_path):
     """An exhausted deadline must still produce the train-metric line and
     must skip (not attempt) the eval stages."""

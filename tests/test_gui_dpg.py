@@ -171,6 +171,7 @@ def test_mouse_handlers_move_camera(gui):
     assert gui.need_update
 
 
+@pytest.mark.slow
 def test_render_loop_with_fake_dpg(gui):
     """Full render() loop: 2 frames with training on — trains, renders a
     preview, updates the texture + logs."""

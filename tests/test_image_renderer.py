@@ -45,6 +45,7 @@ def test_image_renderer_and_orbit():
     assert snap.shape == (8, 8, 3)
 
 
+@pytest.mark.slow
 def test_clip_r_precision():
     from dreamfusion_tpu.training.metrics import (
         clip_r_precision, clip_r_precision_from_renders)

@@ -505,8 +505,9 @@ def test_windowed_march_equals_full_march():
     dt = 2.0 * np.sqrt(3.0) / max_steps
     span = int(np.ceil(float(jnp.max((t_hi - t_lo) / dt)))) + 2
     S = min(max(span, 1), max_steps)
-    m_win = march_rays_window(occ, o, d, nears, fars, t_lo, bound=1.0,
-                              max_steps=max_steps, S=S, K=K)
+    m_win, sig = march_rays_window(occ, o, d, nears, fars, t_lo, bound=1.0,
+                                   max_steps=max_steps, S=S, K=K)
+    assert sig is None
 
     np.testing.assert_array_equal(np.asarray(m_full.valid),
                                   np.asarray(m_win.valid))
@@ -514,3 +515,26 @@ def test_windowed_march_equals_full_march():
                                np.asarray(m_win.ts), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(m_full.counts),
                                   np.asarray(m_win.counts))
+
+    # fused density-probe path: identical march when occ == grid > thresh,
+    # plus the compacted sigma payload matching a direct cell lookup
+    from dreamfusion_tpu.ops.marching import probe_density
+
+    dgrid = jnp.where(occ, 50.0, 0.0).astype(jnp.float32) \
+        + jax.random.uniform(jax.random.PRNGKey(2), occ.shape) * 0.5
+    occ2 = dgrid > 10.0
+    m_ref = march_rays(None, occ2, o, d, nears, fars, bound=1.0,
+                       max_steps=max_steps, K=K, dt_gamma=0.0,
+                       perturb=False)
+    m_d, sig_d = march_rays_window(occ2, o, d, nears, fars, t_lo, bound=1.0,
+                                   max_steps=max_steps, S=max_steps, K=K,
+                                   density_grid=dgrid,
+                                   occ_thresh=jnp.float32(10.0))
+    np.testing.assert_array_equal(np.asarray(m_ref.valid),
+                                  np.asarray(m_d.valid))
+    np.testing.assert_allclose(np.asarray(m_ref.ts), np.asarray(m_d.ts),
+                               atol=1e-5)
+    sig_direct = probe_density(dgrid, o, d, m_d.ts, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(m_d.valid, sig_d, 0.0)),
+        np.asarray(jnp.where(m_d.valid, sig_direct, 0.0)), atol=1e-5)

@@ -148,6 +148,7 @@ def test_ddim_step_reconstructs_x0():
     np.testing.assert_allclose(np.asarray(x0_hat), np.asarray(x0), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_convert_roundtrip_tiny():
     """convert_state_dict maps a synthetic torch-layout state dict onto the
     tiny UNet template exactly."""

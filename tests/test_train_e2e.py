@@ -244,7 +244,8 @@ def test_staged_eval_matches_direct_render_grid(tmp_path):
     H = W = 16
     cfg = _tiny_cfg(tmp_path, guidance="none").replace(
         backbone="grid", grid_ray=True, grid_size=32, max_steps=64,
-        grid_K=32, H=H, W=W).finalize()
+        grid_K=32, H=H, W=W,
+        eval_warm_buckets=(32,)).finalize()   # trim CPU warm compiles
     model = build_model(cfg)
     key = jax.random.PRNGKey(0)
     params = model.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)) / 3 ** 0.5,
