@@ -262,16 +262,64 @@ def _scatter_kernel_oct(coarse_ref, fine_ref, w_ref, c_ref, out_ref):
     out_ref[:] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("table_size", "interpret"))
+def _scatter_kernel_oct2(hi_ref, lo_ref, fine_ref, w_ref, c_ref, out_ref):
+    """Factorized oct kernel: _scatter_kernel_wide2's hi/lo radix split
+    (hi one-hot is _LO x smaller; lo rides the output lane axis) combined
+    with _scatter_kernel_oct's in-VMEM outer product upd[c*2+j] = w_c *
+    cot_j. The dominant VPU cost — generating the [R, _SUB] one-hot —
+    drops _LO x; the matmul becomes [RH, _SUB] @ [_SUB, 1024]."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    RH = out_ref.shape[0]
+    W = _LO * _FINE_W * _C_ROW                                   # 1024
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (RH, _SUB), 0)
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _FINE_W * _C_ROW), 1)
+    fine_of_j = jcol // _C_ROW
+    c_of_j = jcol % _C_ROW
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, W), 1)
+    lo_of_w = wcol // (_FINE_W * _C_ROW)
+    for s in range(8):
+        hi = hi_ref[0, s]               # [_SUB] i32 (padded entries = -1)
+        lo = lo_ref[0, s]               # [_SUB] i32 in [0, _LO)
+        fine = fine_ref[0, s]           # [_SUB] i32 in [0, _FINE_W)
+        a = (rows == hi[None, :]).astype(jnp.bfloat16)         # [RH, _SUB]
+        fmask = fine[:, None] == fine_of_j                     # [_SUB, 128]
+        uval = jnp.zeros((_SUB, _FINE_W * _C_ROW), jnp.float32)
+        for c in range(_C_ROW):
+            v = w_ref[0, s, c >> 1] * c_ref[0, s, c & 1]       # [_SUB]
+            uval = jnp.where(c_of_j == c, v[:, None], uval)
+        b128 = jnp.where(fmask, uval, 0.0)                     # [_SUB, 128]
+        bw = jnp.concatenate([b128] * _LO, axis=1)             # [_SUB, W]
+        b = jnp.where(lo[:, None] == lo_of_w, bw, 0.0).astype(jnp.bfloat16)
+        acc += jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    out_ref[:] += acc
+
+
+# oct-kernel selector: 2 = factorized (hi/lo split), 1 = single coarse
+# one-hot. Kept as a module switch for on-device A/B benchmarking.
+OCT_VERSION = 2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("table_size", "interpret", "version"))
 def matmul_scatter_add_oct(local_idx: jax.Array, w8: jax.Array,
                            cot2: jax.Array, table_size: int,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           version: Optional[int] = None) -> jax.Array:
     """d = zeros([T, 16]).at[idx].add((w8[:, None, :] * cot2.T[None]).
     reshape(16, J).T) without materializing the outer product: the kernel
     forms upd[c*2+j] = w_c * cot_j from the factors in VMEM.
 
     local_idx: [J] i32 in [0, T); w8: [8, J] f32 corner weights; cot2:
     [J, 2] f32 channel cotangents. Returns [T, 16] f32."""
+    if version is None:
+        version = OCT_VERSION
     J = local_idx.shape[0]
     n_chunks = -(-J // _CHUNK)
     pad = n_chunks * _CHUNK - J
@@ -296,6 +344,36 @@ def matmul_scatter_add_oct(local_idx: jax.Array, w8: jax.Array,
     # intact, so no lane-crossing relayout); [J, 2] -> [n, 8s, 2, SUB]
     w4 = w8.reshape(8, n_chunks, 8, _SUB).transpose(1, 2, 0, 3)
     c4 = cot2.T.reshape(2, n_chunks, 8, _SUB).transpose(1, 2, 0, 3)
+
+    if version == 2:
+        RH = -(-R // _LO)
+        RH_pad = -(-RH // 8) * 8
+        hi = jnp.where(coarse < 0, -1, coarse // _LO)
+        lo = coarse % _LO
+        W = _LO * _FINE_W * _C_ROW
+        out = pl.pallas_call(
+            _scatter_kernel_oct2,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, 8, _SUB), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, _SUB), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, _SUB), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, 8, _SUB), lambda j: (j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, 2, _SUB), lambda j: (j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((RH_pad, W), lambda j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((RH_pad, W), jnp.float32),
+            interpret=interpret,
+        )(hi.reshape(n_chunks, 8, _SUB), lo.reshape(n_chunks, 8, _SUB),
+          fine.reshape(n_chunks, 8, _SUB), w4, c4)
+        # rows return (hi, lo, fine)-major = coarse*_FINE_W + fine
+        return out.reshape(RH_pad * _LO * _FINE_W, _C_ROW)[:table_size]
 
     out = pl.pallas_call(
         _scatter_kernel_oct,

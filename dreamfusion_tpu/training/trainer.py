@@ -146,6 +146,8 @@ def make_grads_fn(cfg: Config, model: _BaseNeRF, guidance: Guidance,
                 metrics["count_q95"] = out["count_q95"]
             if "live_q95" in out:
                 metrics["live_q95"] = out["live_q95"]
+            if "mean_count" in out:   # utilization diagnostics: how full the
+                metrics["mean_count"] = out["mean_count"]  # [N, K] slots are
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_in)

@@ -156,3 +156,29 @@ def test_oct_factored_matches_wide_and_oracle():
     oracle_big = jnp.zeros((T_big, 16)).at[idx].add(upd_cm.T)
     np.testing.assert_allclose(np.asarray(got_big[:T]),
                                np.asarray(oracle_big[:T]), atol=1e-5 * scale)
+
+
+@pytest.mark.parametrize("J,T", [(5000, 1000), (3000, 65536), (500, 4096),
+                                 (2048, 728)])
+def test_oct_v2_factorized_matches_oracle_and_v1(J, T):
+    """The factorized (hi/lo) oct kernel must agree with the XLA oracle and
+    with oct v1, including duplicate indices, a padded tail, and table
+    sizes whose row count is not a multiple of the lo radix."""
+    from dreamfusion_tpu.ops.pallas_scatter import matmul_scatter_add_oct
+
+    rng = np.random.RandomState(3)
+    idx = jnp.asarray(rng.randint(0, T, size=J).astype(np.int32))
+    w8 = jnp.asarray(rng.randn(8, J).astype(np.float32))
+    cot2 = jnp.asarray(rng.randn(J, 2).astype(np.float32))
+
+    v2 = matmul_scatter_add_oct(idx, w8, cot2, T, interpret=True, version=2)
+    v1 = matmul_scatter_add_oct(idx, w8, cot2, T, interpret=True, version=1)
+    upd = (np.asarray(w8).T[:, :, None] * np.asarray(cot2)[:, None, :]
+           ).reshape(J, 16)
+    want = np.zeros((T, 16), np.float32)
+    np.add.at(want, np.asarray(idx), upd)
+    scale = np.abs(upd).max()
+    np.testing.assert_allclose(np.asarray(v2) / scale, want / scale,
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                               rtol=1e-5, atol=1e-5)
