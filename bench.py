@@ -191,14 +191,23 @@ def main():
         emit({"metric": "sds_iters_per_sec", "value": round(1.0 / prov, 3),
               "unit": "it/s", "provisional": True,
               "vs_baseline": round(1.0 / prov / REFERENCE_ITERS_PER_SEC, 3)})
-    # pre-warm the K buckets adjacent to the settled one so a mid-window
-    # bucket drift never compiles inside the measurement (results discarded;
-    # state not advanced)
+    # pre-warm the (K, compact_M) programs adjacent to the settled pair so a
+    # mid-window bucket drift never compiles inside the measurement (results
+    # discarded; state not advanced)
+    n_rays = cfg.batch_size * cfg.h * cfg.w
+    cur_K = getattr(trainer, "_cur_grid_K", cfg.grid_K)
+    warm = set()
     for Kb in (48, 64, 96, 128):
         if Kb <= cfg.grid_K:
-            _ = trainer._get_train_step(Kb)(
-                trainer.state, trainer.guidance.params, trainer.text_z,
-                None, trainer.grid_state)
+            warm.add((Kb, None))
+    if cfg.grid_compact:
+        for mb in (16, 32, 48, 64, 96, 128):
+            if mb < cur_K:
+                warm.add((cur_K, mb * n_rays))
+    for Kb, Mb in sorted(warm, key=lambda t: (t[0], t[1] or 0)):
+        _ = trainer._get_train_step(Kb, Mb)(
+            trainer.state, trainer.guidance.params, trainer.text_z,
+            None, trainer.grid_state)
     _sync(trainer)
 
     t0 = time.perf_counter()

@@ -64,6 +64,14 @@ class Config:
     # non-truncated rays, and a much smaller bucket once the field trains
     # out of its early fog phase)
     grid_K_policy: str = "live"
+    # sample compaction (ops/marching.py make_compact_map): query the field
+    # at a GLOBAL budget bucketed from the measured mean marching count
+    # instead of the dense [rays, K] slot grid — the encoder fwd/bwd and
+    # the hash-gradient scatters then scale with MEAN occupancy (~1/3 of
+    # the q95 K on the bench scene). Engages with grid_K_adaptive once
+    # count stats exist; the slack factor keeps per-ray truncation rare.
+    grid_compact: bool = True
+    grid_compact_slack: float = 1.25
     # staged-eval warm-up: which shade K-buckets to pre-compile on the first
     # frame. None = full ladder (no mid-frame compile ever); a short tuple
     # trades possible one-off mid-frame compiles for a much cheaper first
@@ -200,6 +208,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    action="store_false")
     p.add_argument("--grid_table_bf16", action="store_true",
                    default=defaults.grid_table_bf16)
+    p.add_argument("--no_grid_compact", dest="grid_compact",
+                   action="store_false", default=defaults.grid_compact)
+    p.add_argument("--grid_compact_slack", type=float,
+                   default=defaults.grid_compact_slack)
     p.add_argument("--grid_decay", type=float, default=defaults.grid_decay)
     p.add_argument("--test_size", type=int, default=defaults.test_size)
     p.add_argument("--val_size", type=int, default=defaults.val_size)

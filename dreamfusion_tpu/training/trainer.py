@@ -61,7 +61,8 @@ def _shading_schedule(key: jax.Array, step: jax.Array, albedo_iters: int):
 
 
 def make_grads_fn(cfg: Config, model: _BaseNeRF, guidance: Guidance,
-                  renderer: str = "stratified", grid_K: Optional[int] = None):
+                  renderer: str = "stratified", grid_K: Optional[int] = None,
+                  compact_M: Optional[int] = None):
     """Build grads_fn(params, step, gparams, text_z, key, grid_state) ->
     (loss, metrics, grads): camera sampling + shading schedule + render +
     guidance + regularizers + value_and_grad, with no optimizer coupling so
@@ -70,7 +71,11 @@ def make_grads_fn(cfg: Config, model: _BaseNeRF, guidance: Guidance,
     grid_K overrides cfg.grid_K (the adaptive sample-budget path: the
     reference scales per-step compute with occupancy via its mean_count
     budget, raymarching.py:200-231; here the Trainer picks a bucketed K
-    from marching-count stats at each grid refresh)."""
+    from marching-count stats at each grid refresh).
+
+    compact_M: global sample budget for the field query (sample compaction,
+    ops/marching.py) — the Trainer buckets it from the measured mean count
+    so the encoder fwd/bwd scale with mean occupancy, not the q95 K."""
     compute_orient = cfg.lambda_orient > 0
     compute_smooth = cfg.lambda_smooth > 0
     grid_K = grid_K or cfg.grid_K
@@ -102,7 +107,8 @@ def make_grads_fn(cfg: Config, model: _BaseNeRF, guidance: Guidance,
                     ambient_ratio=ratio, shading_code=code,
                     bg_color=bg_color, perturb=True,
                     pallas_composite=cfg.pallas_composite,
-                    compute_normal_losses=compute_orient or compute_smooth)
+                    compute_normal_losses=compute_orient or compute_smooth,
+                    compact_M=compact_M)
             else:
                 out = render_stratified(
                     k_render, fns, rays_o, rays_d, bound=cfg.bound,
@@ -158,7 +164,8 @@ def make_grads_fn(cfg: Config, model: _BaseNeRF, guidance: Guidance,
 
 def make_train_step(cfg: Config, model: _BaseNeRF, guidance: Guidance,
                     tx, renderer: str = "stratified", mesh=None,
-                    grid_K: Optional[int] = None):
+                    grid_K: Optional[int] = None,
+                    compact_M: Optional[int] = None):
     """Build the jitted train step.
 
     step(state, guidance_params, text_z, key, grid_state=None)
@@ -166,9 +173,10 @@ def make_train_step(cfg: Config, model: _BaseNeRF, guidance: Guidance,
 
     With a mesh, grads are computed data-parallel over the 'data' axis
     (per-device camera batches, pmean'd grads) — the DDP analog (§2.4).
-    grid_K: see make_grads_fn (adaptive sample budget).
+    grid_K / compact_M: see make_grads_fn (adaptive sample budgets).
     """
-    grads_fn = make_grads_fn(cfg, model, guidance, renderer, grid_K=grid_K)
+    grads_fn = make_grads_fn(cfg, model, guidance, renderer, grid_K=grid_K,
+                             compact_M=compact_M)
     if mesh is not None:
         from dreamfusion_tpu.parallel.sharding import data_parallel_grads
 
@@ -820,13 +828,30 @@ class Trainer:
             return count_b
         return min(_pick_K_bucket(live_q95, self.cfg.grid_K), count_b)
 
-    def _get_train_step(self, grid_K: Optional[int]):
-        key = grid_K or self.cfg.grid_K
+    def _get_train_step(self, grid_K: Optional[int],
+                        compact_M: Optional[int] = None):
+        key = (grid_K or self.cfg.grid_K, compact_M)
         if key not in self._step_cache:
             self._step_cache[key] = make_train_step(
                 self.cfg, self.model, self.guidance, self.tx,
-                renderer=self.renderer, mesh=self.mesh, grid_K=grid_K)
+                renderer=self.renderer, mesh=self.mesh, grid_K=grid_K,
+                compact_M=compact_M)
         return self._step_cache[key]
+
+    def _pick_compact_M(self, mean_count: float, K: int) -> Optional[int]:
+        """Bucket the global sample budget from an EMA of the mean marching
+        count (sample compaction, ops/marching.py). The EMA damps the
+        per-step mean oscillation (shading/background randomness swings it
+        ~3x) so the bucket — and with it the compiled program — switches
+        rarely. Returns None when the bucket reaches K (no win)."""
+        cfg = self.cfg
+        ema = getattr(self, "_mean_count_ema", None)
+        ema = mean_count if ema is None else 0.5 * ema + 0.5 * mean_count
+        self._mean_count_ema = ema
+        m_per_ray = _pick_K_bucket(ema * cfg.grid_compact_slack, K)
+        if m_per_ray >= K:
+            return None
+        return m_per_ray * cfg.batch_size * cfg.h * cfg.w
 
     def train(self, max_steps: Optional[int] = None, log_interval: int = 50,
               checkpoint_at_end: bool = True,
@@ -872,8 +897,14 @@ class Trainer:
                     else:
                         new_K = self._pick_grid_K(
                             float(metrics["count_q95"]))
+                    new_M = None
+                    if (cfg.grid_compact and self.renderer == "grid"
+                            and "mean_count" in metrics):
+                        new_M = self._pick_compact_M(
+                            float(metrics["mean_count"]), new_K)
                     self._cur_grid_K = new_K
-                    self._train_step = self._get_train_step(new_K)
+                    self._cur_compact_M = new_M
+                    self._train_step = self._get_train_step(new_K, new_M)
             self.state, metrics = self._train_step(
                 self.state, self.guidance.params, self.text_z, None,
                 *((self.grid_state,) if self.renderer == "grid" else ()))

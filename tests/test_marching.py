@@ -538,3 +538,142 @@ def test_windowed_march_equals_full_march():
     np.testing.assert_allclose(
         np.asarray(jnp.where(m_d.valid, sig_d, 0.0)),
         np.asarray(jnp.where(m_d.valid, sig_direct, 0.0)), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# sample compaction (make_compact_map / compact_expand / render_grid M)
+# ---------------------------------------------------------------------------
+
+def test_make_compact_map_roundtrip_and_truncation():
+    from dreamfusion_tpu.ops.marching import make_compact_map
+
+    counts = jnp.array([3, 0, 2, 5, 0, 1], jnp.int32)
+    K = 4                                     # count 5 truncates to 4
+    # no-truncation budget
+    M = 12
+    cm = make_compact_map(counts, K, M)
+    c_eff = np.minimum(np.asarray(counts), K)
+    total = int(c_eff.sum())
+    assert int(jnp.sum(cm.valid_m)) == total
+    pos = np.asarray(cm.pos)
+    fwd = np.asarray(cm.fwd_flat)
+    rays = np.asarray(cm.ray_of_m)
+    for n in range(counts.shape[0]):
+        for k in range(K):
+            if k < c_eff[n]:
+                p = pos[n, k]
+                assert p < M
+                assert fwd[p] == n * K + k      # bijective over valid
+                assert rays[p] == n
+            else:
+                assert pos[n, k] == M           # dropped -> dummy row
+
+    # truncating budget: proportional per-ray floor(count * M/total)
+    M2 = 5
+    cm2 = make_compact_map(counts, K, M2)
+    scale = M2 / total
+    c2 = np.floor(c_eff * scale).astype(int)
+    assert int(jnp.sum(cm2.valid_m)) == c2.sum() <= M2
+    pos2 = np.asarray(cm2.pos)
+    fwd2 = np.asarray(cm2.fwd_flat)
+    for n in range(counts.shape[0]):
+        for k in range(K):
+            if k < c2[n]:
+                assert fwd2[pos2[n, k]] == n * K + k
+            else:
+                assert pos2[n, k] == M2
+
+
+def test_compact_expand_vjp_matches_autodiff():
+    """The custom gather-based VJP must equal autodiff of the plain
+    (scatter-backward) expansion."""
+    from dreamfusion_tpu.ops.marching import compact_expand, make_compact_map
+
+    counts = jnp.array([2, 0, 3, 1], jnp.int32)
+    K, M = 4, 8
+    cm = make_compact_map(counts, K, M)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    vals = jax.random.normal(k1, (M, 3))
+    cot = jax.random.normal(k2, (4, K, 3))
+
+    def plain(v):
+        padded = jnp.concatenate([v, jnp.zeros((1, 3))], 0)
+        return jnp.take(padded, cm.pos.reshape(-1), axis=0).reshape(4, K, 3)
+
+    out = compact_expand(vals, cm.pos, cm.fwd_flat, cm.valid_m)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plain(vals)))
+
+    g_custom = jax.grad(lambda v: jnp.sum(
+        compact_expand(v, cm.pos, cm.fwd_flat, cm.valid_m) * cot))(vals)
+    g_plain = jax.grad(lambda v: jnp.sum(plain(v) * cot))(vals)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain))
+
+    # 1-D payload path (sigma)
+    vals1 = jax.random.normal(k1, (M,))
+    cot1 = jax.random.normal(k2, (4, K))
+    g1 = jax.grad(lambda v: jnp.sum(
+        compact_expand(v, cm.pos, cm.fwd_flat, cm.valid_m) * cot1))(vals1)
+    gp = jax.grad(lambda v: jnp.sum(jnp.take(
+        jnp.concatenate([v, jnp.zeros((1,))]), cm.pos.reshape(-1)
+    ).reshape(4, K) * cot1))(vals1)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(gp))
+
+
+def test_render_grid_compact_matches_dense():
+    """With a non-truncating budget, the compacted render must match the
+    dense path exactly — outputs AND parameter gradients."""
+    density = _ball_density()
+    color = jnp.array([0.2, 0.6, 0.9])
+
+    state = init_grid_state(1, 32)
+    state = update_grid(density, state, jax.random.PRNGKey(0), bound=1.0,
+                        density_thresh=10.0)
+
+    from dreamfusion_tpu import cameras
+    poses, _ = cameras.circle_poses(jnp.array([40.0]), radius=2.0)
+    H = W = 12
+    focal = float(cameras.fov_to_focal(50.0, H))
+    rays = cameras.get_rays(poses, jnp.array([focal, focal, W / 2, H / 2]),
+                            H, W)
+    ro, rd = rays.origins[0], rays.directions[0]
+    K = 64
+
+    def make_fns(scale):
+        def field(x, d, l, r, s):
+            sig = scale * density(x)["sigma"]
+            return sig, jnp.broadcast_to(color, x.shape), jnp.zeros_like(x)
+        return FieldFns(field=field,
+                        density=lambda x: {"sigma": scale * density(x)["sigma"]},
+                        background=None)
+
+    dense = render_grid(jax.random.PRNGKey(1), make_fns(1.0), state, ro, rd,
+                        bound=1.0, max_steps=128, K=K, bg_radius=0.0)
+    # budget >= every valid sample (counts bounded by K per ray)
+    M = H * W * K // 2
+    comp = render_grid(jax.random.PRNGKey(1), make_fns(1.0), state, ro, rd,
+                       bound=1.0, max_steps=128, K=K, bg_radius=0.0,
+                       compact_M=M)
+    for key in ("image", "depth", "weights_sum"):
+        np.testing.assert_allclose(np.asarray(comp[key]),
+                                   np.asarray(dense[key]), atol=1e-5,
+                                   err_msg=key)
+
+    def loss(scale, M_):
+        out = render_grid(jax.random.PRNGKey(1), make_fns(scale), state,
+                          ro, rd, bound=1.0, max_steps=128, K=K,
+                          bg_radius=0.0, compact_M=M_)
+        return jnp.sum(out["image"] ** 2) + jnp.sum(out["weights_sum"])
+
+    g_dense = jax.grad(loss)(jnp.array(1.0), None)
+    g_comp = jax.grad(loss)(jnp.array(1.0), M)
+    np.testing.assert_allclose(float(g_comp), float(g_dense), rtol=1e-5)
+
+    # truncating budget still renders finite, slightly-less-opaque images
+    tight = render_grid(jax.random.PRNGKey(1), make_fns(1.0), state, ro, rd,
+                        bound=1.0, max_steps=128, K=K, bg_radius=0.0,
+                        compact_M=256)
+    assert np.isfinite(np.asarray(tight["image"])).all()
+    assert float(jnp.sum(tight["weights_sum"])) <= \
+        float(jnp.sum(dense["weights_sum"])) + 1e-4
+    g_tight = jax.grad(loss)(jnp.array(1.0), 256)
+    assert np.isfinite(float(g_tight))

@@ -319,3 +319,47 @@ def test_staged_eval_fallback_dtgamma(tmp_path):
     np.testing.assert_allclose(np.asarray(out["image"]).reshape(-1, 3),
                                np.asarray(ref["image"]), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_trainer_compact_policy_and_step(tmp_path):
+    """Sample compaction end-to-end: the refresh-time policy buckets a
+    global budget M from the mean marching count, and the (K, M) train-step
+    program runs with finite loss and moving params."""
+    cfg = _tiny_cfg(tmp_path, guidance="none", backbone="grid",
+                    grid_ray=True, grid_size=16, max_steps=64, grid_K=64,
+                    h=8, w=8, update_extra_interval=2,
+                    lambda_orient=0.0).finalize()
+    trainer = Trainer("t", cfg, guidance=none_guidance(),
+                      use_checkpoint="scratch")
+
+    # policy unit behavior: mean well under K -> bucketed budget; at/over
+    # K -> None (no win)
+    trainer._mean_count_ema = None
+    del trainer._mean_count_ema
+    m = trainer._pick_compact_M(10.0, 64)
+    assert m == 16 * cfg.batch_size * cfg.h * cfg.w   # bucket(10*1.25)=16
+    trainer2_m = trainer._pick_compact_M(200.0, 64)   # EMA jumps over K
+    assert trainer2_m is None
+
+    del trainer._mean_count_ema
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), trainer.state.params)
+    trainer.train(max_steps=6, log_interval=1)        # 3 refreshes
+    assert int(trainer.state.step) == 6
+    # the fog scene floods counts, so M may or may not engage; the step
+    # cache must hold the programs the policy chose, keyed by (K, M)
+    assert all(isinstance(k, tuple) and len(k) == 2
+               for k in trainer._step_cache)
+    import json
+
+    recs = [json.loads(l) for l in open(trainer.log_path)]
+    assert all(np.isfinite(r["loss"]) for r in recs)
+    moved = jax.tree_util.tree_leaves(
+        jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+                     trainer.state.params, p0))
+    assert max(moved) > 0
+
+    # force a compacted program through the product path and step it
+    step_fn = trainer._get_train_step(64, 16 * cfg.batch_size * cfg.h * cfg.w)
+    new_state, metrics = step_fn(trainer.state, trainer.guidance.params,
+                                 trainer.text_z, None, trainer.grid_state)
+    assert np.isfinite(float(metrics["loss"]))
