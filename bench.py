@@ -196,12 +196,18 @@ def main():
     # discarded; state not advanced)
     n_rays = cfg.batch_size * cfg.h * cfg.w
     cur_K = getattr(trainer, "_cur_grid_K", cfg.grid_K)
+    cur_M = getattr(trainer, "_cur_compact_M", None)
     warm = set()
     for Kb in (48, 64, 96, 128):
         if Kb <= cfg.grid_K:
             warm.add((Kb, None))
-    if cfg.grid_compact:
-        for mb in (16, 32, 48, 64, 96, 128):
+    if cfg.grid_compact and cur_M:
+        # only the M buckets adjacent to the settled one — the EMA policy
+        # moves at most one ladder step per refresh, and every remote
+        # compile here costs ~a minute over the tunnel
+        ladder = [16, 32, 48, 64, 96, 128]
+        mi = ladder.index(cur_M // n_rays) if cur_M // n_rays in ladder else 0
+        for mb in ladder[max(mi - 1, 0):mi + 2]:
             if mb < cur_K:
                 warm.add((cur_K, mb * n_rays))
     for Kb, Mb in sorted(warm, key=lambda t: (t[0], t[1] or 0)):

@@ -226,6 +226,7 @@ def test_trainer_data_parallel_with_interpret_pallas_scatter(tmp_path):
     assert all(np.isfinite(r["loss"]) for r in recs)
 
 
+@pytest.mark.slow
 def test_staged_eval_matches_direct_render_grid(tmp_path):
     """The sorted bucketed-K staged eval (make_staged_grid_eval) must equal
     a direct full-K render_grid of the same frame — including pure
@@ -321,6 +322,20 @@ def test_staged_eval_fallback_dtgamma(tmp_path):
                                atol=1e-5)
 
 
+def test_compact_policy_buckets(tmp_path):
+    """The refresh-time compaction policy: mean well under K -> bucketed
+    global budget; mean at/over K -> None (no win)."""
+    cfg = _tiny_cfg(tmp_path, guidance="none", backbone="grid",
+                    grid_ray=True, grid_size=16, max_steps=64, grid_K=64,
+                    h=8, w=8, lambda_orient=0.0).finalize()
+    trainer = Trainer("t", cfg, guidance=none_guidance(),
+                      use_checkpoint="scratch")
+    m = trainer._pick_compact_M(10.0, 64)
+    assert m == 16 * cfg.batch_size * cfg.h * cfg.w   # bucket(10*1.25)=16
+    assert trainer._pick_compact_M(200.0, 64) is None  # EMA jumps over K
+
+
+@pytest.mark.slow
 def test_trainer_compact_policy_and_step(tmp_path):
     """Sample compaction end-to-end: the refresh-time policy buckets a
     global budget M from the mean marching count, and the (K, M) train-step
@@ -331,17 +346,6 @@ def test_trainer_compact_policy_and_step(tmp_path):
                     lambda_orient=0.0).finalize()
     trainer = Trainer("t", cfg, guidance=none_guidance(),
                       use_checkpoint="scratch")
-
-    # policy unit behavior: mean well under K -> bucketed budget; at/over
-    # K -> None (no win)
-    trainer._mean_count_ema = None
-    del trainer._mean_count_ema
-    m = trainer._pick_compact_M(10.0, 64)
-    assert m == 16 * cfg.batch_size * cfg.h * cfg.w   # bucket(10*1.25)=16
-    trainer2_m = trainer._pick_compact_M(200.0, 64)   # EMA jumps over K
-    assert trainer2_m is None
-
-    del trainer._mean_count_ema
     p0 = jax.tree.map(lambda x: np.asarray(x).copy(), trainer.state.params)
     trainer.train(max_steps=6, log_interval=1)        # 3 refreshes
     assert int(trainer.state.step) == 6
