@@ -182,6 +182,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--test", action="store_true")
     p.add_argument("--save_mesh", action="store_true")
     p.add_argument("--gui", action="store_true", default=defaults.gui)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                   help="force the jax platform (default: environment "
+                        "choice). The reference selects GPUs via "
+                        "CUDA_VISIBLE_DEVICES; here device selection is a "
+                        "jax platform switch, which must happen before "
+                        "first device use")
     p.add_argument("--eval_interval", type=int, default=defaults.eval_interval)
     p.add_argument("--workspace", type=str, default=defaults.workspace)
     p.add_argument("--guidance", type=str, default=defaults.guidance)
@@ -254,6 +260,9 @@ def build_argparser() -> argparse.ArgumentParser:
 def parse_config(argv: Optional[List[str]] = None) -> Config:
     p = build_argparser()
     ns = p.parse_args(argv)
+    if getattr(ns, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", ns.platform)
     kw = {}
     cfg_fields = {f.name for f in dataclasses.fields(Config)}
     for k, v in vars(ns).items():

@@ -313,6 +313,29 @@ def march_rays(key: Optional[jax.Array], occ: jax.Array, rays_o: jax.Array,
     return _compact(ts, dts, emits, K)[0]
 
 
+# How the single-cascade occupancy probe gathers from the 2M-cell table.
+# "pred" gathers the bool table directly; the train-step trace shows that
+# gather at ~120M probes/s (16.9 ms/step for a 2^21-probe march) — pred
+# elements may hit a slow path. "u8" gathers a uint8 view; "packed" packs
+# 32 z-cells per int32 word (64x smaller table; one extra shift+mask per
+# probe). Benchmarked on the real chip before changing the default.
+PROBE_IMPL = "pred"
+
+
+def _probe_gather(occ_flat1: jax.Array, flat_idx: jax.Array) -> jax.Array:
+    """Gather bool occupancy [T] at flat_idx [N, S] under PROBE_IMPL."""
+    if PROBE_IMPL == "u8":
+        return jnp.take(occ_flat1.astype(jnp.uint8), flat_idx, axis=0) != 0
+    if PROBE_IMPL == "packed":
+        t = occ_flat1.shape[0]
+        words = jnp.sum(
+            occ_flat1.reshape(t // 32, 32).astype(jnp.uint32)
+            << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1)
+        w = jnp.take(words, flat_idx >> 5, axis=0)
+        return ((w >> (flat_idx & 31).astype(jnp.uint32)) & 1) != 0
+    return jnp.take(occ_flat1, flat_idx, axis=0)
+
+
 def _probe_occupancy(occ: jax.Array, rays_o: jax.Array, rays_d: jax.Array,
                      ts: jax.Array, bound: float) -> jax.Array:
     """Occupancy lookups at lattice points ts [N, S] -> bool [N, S].
@@ -330,7 +353,7 @@ def _probe_occupancy(occ: jax.Array, rays_o: jax.Array, rays_d: jax.Array,
             n_d = jnp.clip(0.5 * (x_d / bound + 1.0) * H, 0.0, H - 1.0)
             idx_axes.append(n_d.astype(jnp.int32))
         flat_idx = (idx_axes[0] * H + idx_axes[1]) * H + idx_axes[2]
-        return jnp.take(occ_flat[0], flat_idx, axis=0)
+        return _probe_gather(occ_flat[0], flat_idx)
     x_axes = [jnp.clip(rays_o[:, d:d + 1] + ts * rays_d[:, d:d + 1],
                        -bound, bound) for d in range(3)]
     mx = jnp.maximum(x_axes[0].__abs__(),

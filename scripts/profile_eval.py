@@ -93,17 +93,22 @@ def main():
         _ = float(jnp.sum(out["image"]))
         print(f"warm frame {w} done", flush=True)
 
-    t0 = time.perf_counter()
+    # sec_per_frame from the per-frame walls only: start/stop_trace write
+    # multi-MB perfetto files (~2.3 s measured) and must stay OUTSIDE the
+    # reported number (earlier logs mixed them in: 1.08 s frames reported
+    # as 3.56 s/frame)
     if not args.no_trace:
         jax.profiler.start_trace(args.out, create_perfetto_trace=True)
+    frame_walls = []
     for f in range(args.frames):
         tf = time.perf_counter()
         out = trainer._render_orbit_frame(2 + f, 100, H, H)
         _ = float(jnp.sum(out["image"]))
-        print(f"frame {f}: {time.perf_counter() - tf:.3f} s", flush=True)
+        frame_walls.append(time.perf_counter() - tf)
+        print(f"frame {f}: {frame_walls[-1]:.3f} s", flush=True)
     if not args.no_trace:
         jax.profiler.stop_trace()
-    dt = (time.perf_counter() - t0) / args.frames
+    dt = sum(frame_walls) / len(frame_walls)
     print(json.dumps({"H": H, "sec_per_frame": round(dt, 3),
                       "fps": round(1.0 / dt, 4)}), flush=True)
 
@@ -132,8 +137,15 @@ def summarize(trace_dir, top=30):
         pname = pid_names.get(e.get("pid"), "")
         if "TPU" not in pname and "tpu" not in pname:
             continue
-        d = e.get("dur", 0) / 1e3  # us -> ms
         name = e.get("name", "?")
+        # leaf kernels only — jit_* / bare-digit / conditional rows are
+        # CONTAINERS of the fusions below them; summing both double-counts
+        # (an earlier log summed 2.1 s device "per 1.08 s frame")
+        if (name.startswith("jit_") or name.isdigit()
+                or name.startswith("conditional")
+                or name.startswith("cond")):
+            continue
+        d = e.get("dur", 0) / 1e3  # us -> ms
         dur_by_name[name] = dur_by_name.get(name, 0.0) + d
         total += d
     print(f"\ndevice time total: {total:.1f} ms  (top {top} ops)")

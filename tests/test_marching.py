@@ -474,6 +474,35 @@ def test_probe_density_matches_cellwise():
         assert got[s] == g[n[0], n[1], n[2]]
 
 
+def test_probe_impl_variants_agree():
+    """All PROBE_IMPL gather variants (pred / u8 / packed) return the same
+    occupancy bits for the same probe set — the switch only changes the
+    gather's element representation, never the result."""
+    from dreamfusion_tpu.ops import marching
+
+    key = jax.random.PRNGKey(11)
+    Hg = 32  # table size Hg^3 = 32768, divisible by 32 for the packed rep
+    occ = jax.random.uniform(key, (1, Hg, Hg, Hg)) < 0.15
+    o = jax.random.uniform(jax.random.PRNGKey(1), (5, 3)) * 2.0 - 1.0
+    d = jax.random.normal(jax.random.PRNGKey(2), (5, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ts = jnp.linspace(0.05, 1.9, 40)[None, :].repeat(5, axis=0)
+
+    outs = {}
+    orig = marching.PROBE_IMPL
+    try:
+        for impl in ("pred", "u8", "packed"):
+            marching.PROBE_IMPL = impl
+            outs[impl] = np.asarray(
+                marching._probe_occupancy(occ, o, d, ts, 1.0))
+    finally:
+        marching.PROBE_IMPL = orig
+    assert outs["pred"].dtype == np.bool_
+    np.testing.assert_array_equal(outs["pred"], outs["u8"])
+    np.testing.assert_array_equal(outs["pred"], outs["packed"])
+    assert outs["pred"].any() and not outs["pred"].all()
+
+
 def test_windowed_march_equals_full_march():
     """march_rays_window with the coarse_hit_window bracket and a
     sufficient lattice-length bucket reproduces the full uniform march
