@@ -41,6 +41,26 @@ def emit(obj):
     print(json.dumps(obj), flush=True)
 
 
+def arm_watchdog(deadline_s: float, grace_s: float = 90.0):
+    """Force a CLEAN exit if the process is still alive well past the
+    deadline. The soft deadline only gates BETWEEN device ops; a single
+    hung op (the axon tunnel can wedge mid-call for 1-2 h) blocks forever
+    and turns the run into the driver's rc=124 with every already-printed
+    measurement discarded. The watchdog never prints numbers of its own —
+    it just guarantees rc=0 so the real JSON lines flushed so far count."""
+    import threading
+
+    def _fire():
+        print("# watchdog: deadline+grace exceeded, exiting with the "
+              "results flushed so far", file=sys.stderr, flush=True)
+        os._exit(0)
+
+    t = threading.Timer(deadline_s + grace_s, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def enable_compile_cache(path):
     """Persistent compilation cache: a rerun (e.g. the driver's bench after
     this session already compiled everything) skips the 15-400 s remote
@@ -146,6 +166,17 @@ def main():
     def remaining():
         return args.deadline - (time.monotonic() - t_start)
 
+    # armed for the whole run, cancelled in the finally below: an in-process
+    # caller (the CI smoke test) must never be os._exit'ed later, even when
+    # this body raises
+    watchdog = arm_watchdog(args.deadline)
+    try:
+        _run(args, remaining)
+    finally:
+        watchdog.cancel()
+
+
+def _run(args, remaining):
     enable_compile_cache(args.cache_dir)
 
     from dreamfusion_tpu.config import Config
