@@ -206,10 +206,26 @@ def _run(args, remaining):
     trainer = Trainer("bench", cfg, use_checkpoint="scratch")
 
     # warmup: compiles the step (default K), grid refresh, adaptive-K switch.
-    # The last 10 warmup steps are timed and emitted as a PROVISIONAL result
-    # line — if anything later (bucket pre-warm, measure window, eval) dies
-    # or is killed, the driver still parses a real steady-state number.
+    # Two PROVISIONAL result lines along the way — if anything later
+    # (bucket switches on a cold cache cost minutes of remote compile each,
+    # then the measure window, then eval) dies or is killed, the driver
+    # still parses a real number. Provisional #1 lands after only TWO
+    # compiles (step + first full refresh): steps 3-12 timed — BEFORE the
+    # step-16 refresh and the first adaptive-K/M program switch, so no
+    # compile can land inside its window.
     n_prov = 10 if args.warmup > 10 else 0
+    if args.warmup >= 30:
+        trainer.train(max_steps=2, log_interval=10 ** 9,
+                      checkpoint_at_end=False)
+        _sync(trainer)
+        t0 = time.perf_counter()
+        trainer.train(max_steps=12, log_interval=10 ** 9,
+                      checkpoint_at_end=False)
+        _sync(trainer)
+        prov = (time.perf_counter() - t0) / 10
+        emit({"metric": "sds_iters_per_sec", "value": round(1.0 / prov, 3),
+              "unit": "it/s", "provisional": True, "window": "warmup_3_12",
+              "vs_baseline": round(1.0 / prov / REFERENCE_ITERS_PER_SEC, 3)})
     trainer.train(max_steps=args.warmup - n_prov, log_interval=10 ** 9,
                   checkpoint_at_end=False)
     if n_prov:
