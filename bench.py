@@ -258,6 +258,14 @@ def _run(args, remaining):
             if mb < cur_K:
                 warm.add((cur_K, mb * n_rays))
     for Kb, Mb in sorted(warm, key=lambda t: (t[0], t[1] or 0)):
+        if remaining() < 240:
+            # cold cache: each pre-warm is a multi-minute remote compile.
+            # A measured window that risks one mid-drift compile (rare:
+            # the EMA-damped bucket moves at most one step per refresh)
+            # beats exhausting the deadline before measuring at all.
+            print("# prewarm truncated by deadline", file=sys.stderr,
+                  flush=True)
+            break
         _ = trainer._get_train_step(Kb, Mb)(
             trainer.state, trainer.guidance.params, trainer.text_z,
             None, trainer.grid_state)

@@ -12,9 +12,12 @@ import pytest
 def test_bench_tiny_smoke(monkeypatch, capsys, tmp_path):
     import bench
 
+    # stable cache dir (NOT tmp_path): the tiny train step costs ~3.5 min
+    # of XLA CPU compile; a run-scoped dir re-pays it every suite run,
+    # while stale entries after code changes are simply cache misses
     monkeypatch.setattr(sys, "argv", [
         "bench.py", "--tiny", "--warmup", "2", "--steps", "2",
-        "--skip_eval", "--cache_dir", str(tmp_path / "cache"),
+        "--skip_eval", "--cache_dir", "/tmp/dftpu_test_compile_cache",
         "--deadline", "600",
     ])
     bench.main()
