@@ -33,6 +33,7 @@ Marching detail notes vs the CUDA kernel:
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -318,8 +319,9 @@ def march_rays(key: Optional[jax.Array], occ: jax.Array, rays_o: jax.Array,
 # gather at ~120M probes/s (16.9 ms/step for a 2^21-probe march) — pred
 # elements may hit a slow path. "u8" gathers a uint8 view; "packed" packs
 # 32 z-cells per int32 word (64x smaller table; one extra shift+mask per
-# probe). Benchmarked on the real chip before changing the default.
-PROBE_IMPL = "pred"
+# probe). Benchmarked on the real chip before changing the default;
+# DFTPU_PROBE_IMPL overrides for on-device A/B runs.
+PROBE_IMPL = os.environ.get("DFTPU_PROBE_IMPL", "pred")
 
 
 def _probe_gather(occ_flat1: jax.Array, flat_idx: jax.Array) -> jax.Array:
