@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
@@ -46,27 +47,32 @@ _U32 = (1 << 32) - 1
 
 # Backward scatter implementation: "auto" picks the Pallas MXU matmul-scatter
 # on TPU and the XLA scatter-add elsewhere; "xla" forces the oracle path;
-# "interpret" runs the Pallas kernel in interpreter mode (CPU tests).
-SCATTER_IMPL = "auto"
+# "interpret" runs the Pallas kernel in interpreter mode (CPU tests);
+# "binned"/"binned-interpret" route large levels through the sorted-window
+# kernel (pallas_scatter.matmul_scatter_add_oct_binned). DFTPU_SCATTER_IMPL
+# overrides for on-device A/B runs.
+SCATTER_IMPL = os.environ.get("DFTPU_SCATTER_IMPL", "auto")
 
 
 def _use_pallas_scatter(level_dim: int,
-                        impl: Optional[str] = None) -> Optional[bool]:
-    """None -> xla oracle; True -> pallas compiled; 'interpret' -> pallas
-    interpreter. `impl` (a spec's scatter_impl) overrides the module-global
-    SCATTER_IMPL; full-precision models pass "xla" so their table gradients
-    are not silently bf16-rounded by the matmul-scatter (the reference only
-    uses fp16 atomics under AMP, gridencoder.cu __half path)."""
+                        impl: Optional[str] = None) -> Optional[str]:
+    """None -> xla oracle; "pallas" -> pallas compiled; "interpret" ->
+    pallas interpreter; "binned"/"binned-interpret" -> sorted-window kernel
+    for large levels (smaller levels keep the unbinned kernel). `impl` (a
+    spec's scatter_impl) overrides the module-global SCATTER_IMPL;
+    full-precision models pass "xla" so their table gradients are not
+    silently bf16-rounded by the matmul-scatter (the reference only uses
+    fp16 atomics under AMP, gridencoder.cu __half path)."""
     if level_dim != 2:
         return None
     impl = impl or SCATTER_IMPL
     if impl == "xla":
         return None
-    if impl == "interpret":
-        return "interpret"
+    if impl in ("interpret", "binned", "binned-interpret"):
+        return impl
     if impl == "pallas":
-        return True
-    return True if jax.default_backend() == "tpu" else None
+        return "pallas"
+    return "pallas" if jax.default_backend() == "tpu" else None
 
 
 @functools.lru_cache(maxsize=None)
@@ -118,7 +124,9 @@ def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
         return _encode_oct(emb, base_all, w_all), (emb, base_all, w_all)
 
     def _bwd(res, cot):
-        from dreamfusion_tpu.ops.pallas_scatter import matmul_scatter_add_oct
+        from dreamfusion_tpu.ops.pallas_scatter import (
+            _BIN_WB, _FINE_W, matmul_scatter_add_oct,
+            matmul_scatter_add_oct_binned)
 
         emb, base_all, w_all = res                           # cot [B, L, C]
         L = base_all.shape[0]
@@ -126,6 +134,8 @@ def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
         pallas = _use_pallas_scatter(C, scatter_impl)
         if len(corner_offs[0]) * C != 16:
             pallas = None          # wide kernel is 8 corners x C=2 = 16 lanes
+        interp = pallas in ("interpret", "binned-interpret")
+        binned = pallas in ("binned", "binned-interpret")
         parts = []
         for lvl in range(L):
             size = sizes[lvl]
@@ -140,10 +150,19 @@ def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
             # factored update (upd[c*C+j] = w_c * cot_j): the kernel forms
             # the outer product on VMEM vectors instead of a [8C, B] HBM
             # materialization + lane transpose per level
-            d_oct = matmul_scatter_add_oct(
-                base_all[lvl], w_all[lvl].astype(jnp.float32),
-                cot[:, lvl, :].astype(jnp.float32), size,
-                interpret=(pallas == "interpret"))           # [size, 8C]
+            if binned and size > 2 * _BIN_WB * _FINE_W:
+                # sorted-window kernel: worth it only when the level spans
+                # multiple output windows (small levels keep the unbinned
+                # kernel — their one-hot is already narrow)
+                d_oct = matmul_scatter_add_oct_binned(
+                    base_all[lvl], w_all[lvl].astype(jnp.float32),
+                    cot[:, lvl, :].astype(jnp.float32), size,
+                    interpret=interp)                        # [size, 8C]
+            else:
+                d_oct = matmul_scatter_add_oct(
+                    base_all[lvl], w_all[lvl].astype(jnp.float32),
+                    cot[:, lvl, :].astype(jnp.float32), size,
+                    interpret=interp)                        # [size, 8C]
             d_l = jnp.zeros((size, C), jnp.float32)
             for ci, o in enumerate(corner_offs[lvl]):        # inverse rolls
                 d_l = d_l + jnp.roll(d_oct[:, ci * C:(ci + 1) * C], o,
@@ -216,9 +235,12 @@ def _make_encode_levels(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
                 local = (idx_all[lvl] - offsets[lvl]).reshape(-1)  # [K*B]
                 u0 = (w_all[lvl] * cot[:, lvl, 0][None, :]).reshape(-1)
                 u1 = (w_all[lvl] * cot[:, lvl, 1][None, :]).reshape(-1)
+                # no binned variant of the narrow kernel: "binned*" modes
+                # fall back to the unbinned kernel here (this path is only
+                # taken by non-affine level sets; production uses oct)
                 parts.append(matmul_scatter_add(
                     local, u0, u1, sizes[lvl],
-                    interpret=(pallas == "interpret")))
+                    interpret=pallas in ("interpret", "binned-interpret")))
             d_emb = jnp.concatenate(parts, axis=0)
         return (d_emb.astype(emb.dtype), jnp.zeros_like(idx_all),
                 jnp.zeros_like(w_all))

@@ -306,6 +306,154 @@ def _scatter_kernel_oct2(hi_ref, lo_ref, fine_ref, w_ref, c_ref, out_ref):
 OCT_VERSION = 2
 
 
+# ---------------------------------------------------------------------------
+# binned (sorted-window) oct kernel: past the one-hot FLOP floor
+# ---------------------------------------------------------------------------
+# The v1/v2 kernels' MXU FLOP is J x R x 128 regardless of how the one-hot
+# is factorized: every chunk multiplies against ALL R output rows. Sorting
+# the J updates by table row first makes each 2048-update chunk span only a
+# narrow row range (~R / n_chunks rows), so it can be contracted against a
+# _BIN_WB-row WINDOW of the output instead of all R rows — a structural
+# R / _BIN_WB FLOP cut (32x at the production 2^16 table).
+#
+# Mapping tiles to (window, chunk) uses pallas scalar prefetch: a tile list
+# enumerates, per output window, every input chunk whose sorted row range
+# touches it (boundary chunks appear in two tiles; in-kernel row-relative
+# masking drops the out-of-window updates, so each update lands exactly
+# once). Windows are visited in ascending, contiguous runs, so the kernel
+# zero-initialises an output block on first visit and pallas flushes it to
+# HBM when the window index changes. Never-visited windows hold garbage and
+# are masked on the XLA side from the per-window element counts.
+#
+# The sort itself (jax.lax.sort, 1 key + 10 payload vectors) is the open
+# cost question (NOTES round-4 sketch); scripts/mb_scatter_binned.py
+# measures it against the kernel win on device.
+
+_BIN_WB = 256        # output-window height in coarse rows (256*8 table rows)
+
+
+def _scatter_kernel_oct_binned(win_ref, chunk_ref, valid_ref,
+                               crow_ref, fine_ref, w_ref, c_ref, out_ref):
+    """One tile: contract chunk chunk_ref[t] against output window
+    win_ref[t] ([_BIN_WB, 128] block). Row one-hot is built window-relative
+    (crow - win*_BIN_WB); updates outside the window or from dummy tiles
+    (valid_ref[t] == 0) match no row and are dropped."""
+    t = pl.program_id(0)
+    win = win_ref[t]
+    prev = win_ref[jnp.maximum(t - 1, 0)]
+
+    @pl.when((t == 0) | (win != prev))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    live = valid_ref[t] > 0
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_BIN_WB, _SUB), 0)
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _FINE_W * _C_ROW), 1)
+    fine_of_j = jcol // _C_ROW
+    c_of_j = jcol % _C_ROW
+    base = win * _BIN_WB
+    for s in range(8):
+        rel = crow_ref[0, s] - base     # [_SUB]; out-of-window -> no match
+        fine = fine_ref[0, s]
+        a = ((rows == rel[None, :]) & live).astype(jnp.bfloat16)
+        fmask = fine[:, None] == fine_of_j                       # [_SUB, 128]
+        uval = jnp.zeros((_SUB, _FINE_W * _C_ROW), jnp.float32)
+        for c in range(_C_ROW):
+            v = w_ref[0, s, c >> 1] * c_ref[0, s, c & 1]         # [_SUB]
+            uval = jnp.where(c_of_j == c, v[:, None], uval)
+        b = jnp.where(fmask, uval, 0.0).astype(jnp.bfloat16)     # [_SUB, 128]
+        acc += jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    out_ref[:] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("table_size", "interpret"))
+def matmul_scatter_add_oct_binned(local_idx: jax.Array, w8: jax.Array,
+                                  cot2: jax.Array, table_size: int,
+                                  interpret: bool = False) -> jax.Array:
+    """Same contract as matmul_scatter_add_oct (d = zeros([T, 16]).at[idx]
+    .add(outer(w8, cot2))), computed by sorting updates by row and
+    contracting each chunk against only the output window it touches."""
+    J = local_idx.shape[0]
+    n_chunks = -(-J // _CHUNK)
+    Jp = n_chunks * _CHUNK
+    R = -(-table_size // _FINE_W)            # coarse rows
+    NW = -(-R // _BIN_WB)                    # output windows
+
+    sentinel = jnp.int32(table_size)         # sorts after every real row
+    key = jnp.where(local_idx < 0, sentinel, local_idx)
+    pad = Jp - J
+    if pad:
+        key = jnp.pad(key, (0, pad), constant_values=table_size)
+        w8 = jnp.pad(w8, ((0, 0), (0, pad)))
+        cot2 = jnp.pad(cot2, ((0, pad), (0, 0)))
+
+    ops = (key, *(w8[i] for i in range(8)), cot2[:, 0], cot2[:, 1])
+    key_s, *pay = jax.lax.sort(ops, num_keys=1)
+    w8s = jnp.stack(pay[:8], axis=0)                             # [8, Jp]
+    c2s = jnp.stack(pay[8:], axis=0)                             # [2, Jp]
+
+    valid = key_s < table_size
+    crow = jnp.where(valid, key_s // _FINE_W, -1)
+    fine = jnp.where(valid, key_s % _FINE_W, 0)
+
+    # tile list: for each window, every chunk its sorted row-run touches
+    w_u = jnp.where(valid, crow // _BIN_WB, NW)   # sentinel past all windows
+    wids = jnp.arange(NW, dtype=w_u.dtype)
+    w_start = jnp.searchsorted(w_u, wids, side="left")
+    w_end = jnp.searchsorted(w_u, wids, side="right")
+    nonempty = w_end > w_start
+    fc = jnp.where(nonempty, w_start // _CHUNK, 0)
+    lc = jnp.where(nonempty, (w_end - 1) // _CHUNK, -1)
+    ntiles_w = jnp.where(nonempty, lc - fc + 1, 0)
+    cum = jnp.concatenate([jnp.zeros(1, ntiles_w.dtype),
+                           jnp.cumsum(ntiles_w)])                # [NW+1]
+    total = cum[-1]
+    NT = n_chunks + NW                       # static bound on total
+    t = jnp.arange(NT)
+    win_t = jnp.clip(jnp.searchsorted(cum, t, side="right") - 1, 0, NW - 1)
+    chunk_t = jnp.clip(fc[win_t] + t - cum[win_t], 0, n_chunks - 1)
+    valid_t = (t < total).astype(jnp.int32)
+    win_t = win_t.astype(jnp.int32)
+    chunk_t = chunk_t.astype(jnp.int32)
+
+    w4 = w8s.reshape(8, n_chunks, 8, _SUB).transpose(1, 2, 0, 3)
+    c4 = c2s.reshape(2, n_chunks, 8, _SUB).transpose(1, 2, 0, 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(NT,),
+        in_specs=[
+            pl.BlockSpec((1, 8, _SUB), lambda t, w, c, v: (c[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, _SUB), lambda t, w, c, v: (c[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 8, _SUB), lambda t, w, c, v: (c[t], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 2, _SUB), lambda t, w, c, v: (c[t], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BIN_WB, _FINE_W * _C_ROW),
+                               lambda t, w, c, v: (w[t], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _scatter_kernel_oct_binned,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NW * _BIN_WB, _FINE_W * _C_ROW),
+                                       jnp.float32),
+        interpret=interpret,
+    )(win_t, chunk_t, valid_t,
+      crow.reshape(n_chunks, 8, _SUB), fine.reshape(n_chunks, 8, _SUB),
+      w4, c4)
+
+    # never-visited windows hold uninitialised memory: mask from counts
+    rowmask = jnp.repeat(nonempty, _BIN_WB)
+    out = jnp.where(rowmask[:, None], out, 0.0)
+    return out.reshape(NW * _BIN_WB * _FINE_W, _C_ROW)[:table_size]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("table_size", "interpret", "version"))
 def matmul_scatter_add_oct(local_idx: jax.Array, w8: jax.Array,

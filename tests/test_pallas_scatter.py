@@ -182,3 +182,81 @@ def test_oct_v2_factorized_matches_oracle_and_v1(J, T):
                                atol=2e-2)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("J,T", [(5000, 65536), (3000, 4096), (2048, 728),
+                                 (300, 65536)])
+def test_oct_binned_matches_oracle(J, T):
+    """The binned (sorted-window) oct kernel must agree with the XLA
+    oracle, including duplicate indices, padded tails (J not a multiple of
+    the chunk size), tables smaller than one window, and tables whose row
+    count is not a multiple of the window height."""
+    from dreamfusion_tpu.ops.pallas_scatter import (
+        matmul_scatter_add_oct, matmul_scatter_add_oct_binned)
+
+    rng = np.random.RandomState(7)
+    idx = jnp.asarray(rng.randint(0, T, size=J).astype(np.int32))
+    w8 = jnp.asarray(rng.randn(8, J).astype(np.float32))
+    cot2 = jnp.asarray(rng.randn(J, 2).astype(np.float32))
+
+    got = matmul_scatter_add_oct_binned(idx, w8, cot2, T, interpret=True)
+    v2 = matmul_scatter_add_oct(idx, w8, cot2, T, interpret=True)
+    upd = (np.asarray(w8).T[:, :, None] * np.asarray(cot2)[:, None, :]
+           ).reshape(J, 16)
+    want = np.zeros((T, 16), np.float32)
+    np.add.at(want, np.asarray(idx), upd)
+    scale = np.abs(upd).max()
+    np.testing.assert_allclose(np.asarray(got) / scale, want / scale,
+                               atol=2e-2)
+    # binned and unbinned kernels do the same bf16 products in a different
+    # order; f32 accumulation keeps them close but not bit-identical
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(v2) / scale, atol=2e-3)
+
+
+def test_oct_binned_skew_and_empty_windows():
+    """All updates in ONE window (every other window untouched): unvisited
+    output blocks must come back zero, not garbage; and a fully dense
+    single-row pileup must accumulate exactly."""
+    from dreamfusion_tpu.ops.pallas_scatter import matmul_scatter_add_oct_binned
+
+    J, T = 4096, 65536
+    # rows all inside window 3 (coarse rows [768, 1024) -> idx of 8 fine)
+    rng = np.random.RandomState(11)
+    idx = jnp.asarray((rng.randint(768 * 8, 1024 * 8, size=J)
+                       ).astype(np.int32))
+    w8 = jnp.ones((8, J), jnp.float32)
+    cot2 = jnp.ones((J, 2), jnp.float32)
+    got = matmul_scatter_add_oct_binned(idx, w8, cot2, T, interpret=True)
+    want = np.zeros((T, 16), np.float32)
+    np.add.at(want, np.asarray(idx), np.ones((J, 16), np.float32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-2, atol=1e-3)
+    # rows outside the hot window are exactly zero (mask of unvisited
+    # windows + no stray updates)
+    assert float(np.abs(np.asarray(got[: 768 * 8])).max()) == 0.0
+
+
+def test_oct_binned_in_encoder_bwd():
+    """grid_encoder backward with scatter_impl='binned-interpret' matches
+    the XLA oracle path end-to-end."""
+    # log2_hashmap_size=13: the largest level (8192 rows) crosses the
+    # binned-routing threshold while the small levels keep the unbinned
+    # kernel -- both paths in one backward
+    spec_x = GridEncoderSpec(input_dim=3, num_levels=4, level_dim=2,
+                             base_resolution=8, per_level_scale=1.5,
+                             log2_hashmap_size=13, gridtype="hash",
+                             scatter_impl="xla")
+    spec_b = GridEncoderSpec(input_dim=3, num_levels=4, level_dim=2,
+                             base_resolution=8, per_level_scale=1.5,
+                             log2_hashmap_size=13, gridtype="hash",
+                             scatter_impl="binned-interpret")
+    table = spec_x.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(1).uniform(-0.9, 0.9, (64, 3)),
+                    jnp.float32)
+    cot = jnp.asarray(np.random.RandomState(2).randn(64, spec_x.output_dim),
+                      jnp.float32)
+    gx = jax.vjp(lambda t: spec_x(t, x), table)[1](cot)[0]
+    gb = jax.vjp(lambda t: spec_b(t, x), table)[1](cot)[0]
+    scale = float(jnp.max(jnp.abs(gx))) + 1e-9
+    np.testing.assert_allclose(np.asarray(gb) / scale,
+                               np.asarray(gx) / scale, atol=2e-2)
