@@ -114,6 +114,15 @@ def pallas_check():
             np.asarray(got_o) / scale_o, np.asarray(oracle_o) / scale_o,
             atol=2e-2))
 
+        # binned (sorted-window) oct kernel: scalar-prefetch tile mapping
+        from dreamfusion_tpu.ops.pallas_scatter import \
+            matmul_scatter_add_oct_binned
+        got_b = matmul_scatter_add_oct_binned(idx, w8, cot2, T,
+                                              interpret=interp)
+        scatter_ok = scatter_ok and bool(np.allclose(
+            np.asarray(got_b) / scale_o, np.asarray(oracle_o) / scale_o,
+            atol=2e-2))
+
         ka, kb, kc, kd = jax.random.split(jax.random.PRNGKey(1), 4)
         N, K = 64, 64
         sigmas = jax.random.uniform(ka, (N, K)) * 20.0
