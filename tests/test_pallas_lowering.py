@@ -1,0 +1,75 @@
+"""Cross-platform TPU lowering of every production Pallas kernel.
+
+Interpret-mode tests (test_pallas_scatter/test_pallas_composite) pin kernel
+SEMANTICS but can't catch Mosaic lowering errors (unsupported ops, layout
+constraints, VMEM shapes) — those normally only surface on a real chip.
+jax.jit(...).trace(...).lower(lowering_platforms=("tpu",)) runs the full
+python-side Mosaic lowering on any host, so a kernel that would fail to
+build on device fails HERE, in CI. (The final Mosaic->machine-code step
+still happens on device; bench.py's pallas_check covers executed
+correctness per TPU run.)
+
+Shapes are production-like (J=64k updates, 2^16 table, K=128 composite) —
+lowering cost is host-side tracing only, no device work.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _lower_tpu(fn, *args):
+    lowered = jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+    txt = lowered.as_text()
+    assert "tpu_custom_call" in txt or "mosaic" in txt.lower(), (
+        "expected a Mosaic custom call in the lowered module")
+    return txt
+
+
+J, T = 65536, 65536
+
+
+@pytest.fixture(scope="module")
+def oct_args():
+    return (jnp.zeros((J,), jnp.int32), jnp.zeros((8, J), jnp.float32),
+            jnp.zeros((J, 2), jnp.float32))
+
+
+def test_lower_matmul_scatter_add():
+    from dreamfusion_tpu.ops.pallas_scatter import matmul_scatter_add
+
+    _lower_tpu(lambda i, a, b: matmul_scatter_add(i, a, b, T),
+               jnp.zeros((J,), jnp.int32), jnp.zeros((J,)), jnp.zeros((J,)))
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_lower_oct(version, oct_args):
+    from dreamfusion_tpu.ops.pallas_scatter import matmul_scatter_add_oct
+
+    _lower_tpu(lambda i, w, c: matmul_scatter_add_oct(
+        i, w, c, T, version=version), *oct_args)
+
+
+def test_lower_oct_binned(oct_args):
+    from dreamfusion_tpu.ops.pallas_scatter import \
+        matmul_scatter_add_oct_binned
+
+    _lower_tpu(lambda i, w, c: matmul_scatter_add_oct_binned(i, w, c, T),
+               *oct_args)
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_lower_wide(version):
+    from dreamfusion_tpu.ops.pallas_scatter import matmul_scatter_add_wide
+
+    _lower_tpu(lambda i, u: matmul_scatter_add_wide(i, u, T, version=version),
+               jnp.zeros((J,), jnp.int32), jnp.zeros((16, J), jnp.float32))
+
+
+def test_lower_composite_fused():
+    from dreamfusion_tpu.ops.pallas_composite import composite_fused
+
+    N, K = 4096, 128
+    _lower_tpu(lambda s, r, d, t: composite_fused(s, r, d, t),
+               jnp.zeros((N, K)), jnp.zeros((N, K, 3)), jnp.zeros((N, K)),
+               jnp.zeros((N, K)))

@@ -200,10 +200,12 @@ def test_trainer_data_parallel_sds_cpu_mesh(tmp_path):
 
 
 @pytest.mark.slow
-def test_trainer_data_parallel_with_interpret_pallas_scatter(tmp_path):
+@pytest.mark.parametrize("impl", ["interpret", "binned-interpret"])
+def test_trainer_data_parallel_with_interpret_pallas_scatter(tmp_path, impl):
     """DP + the Pallas matmul-scatter backward running together (VERDICT r2
     next #4): the grid-backbone hash-table gradient goes through the
-    interpret-mode kernel inside the shard_map'd step."""
+    interpret-mode kernel inside the shard_map'd step. The binned
+    (sorted-window) variant rides the same product path."""
     import dreamfusion_tpu.ops.grid_encoder as ge
 
     cfg = _tiny_cfg(tmp_path, guidance="none", backbone="grid",
@@ -211,7 +213,7 @@ def test_trainer_data_parallel_with_interpret_pallas_scatter(tmp_path):
                     n_devices=8, h=8, w=8, H=16, W=16, lambda_orient=0.0,
                     fp16=True)
     old = ge.SCATTER_IMPL
-    ge.SCATTER_IMPL = "interpret"
+    ge.SCATTER_IMPL = impl
     try:
         trainer = Trainer("t", cfg, guidance=none_guidance(),
                           use_checkpoint="scratch")
