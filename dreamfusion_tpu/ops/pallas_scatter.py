@@ -374,7 +374,12 @@ def matmul_scatter_add_oct_binned(local_idx: jax.Array, w8: jax.Array,
                                   interpret: bool = False) -> jax.Array:
     """Same contract as matmul_scatter_add_oct (d = zeros([T, 16]).at[idx]
     .add(outer(w8, cot2))), computed by sorting updates by row and
-    contracting each chunk against only the output window it touches."""
+    contracting each chunk against only the output window it touches.
+
+    Unlike the unbinned kernels, VMEM residency is WINDOW-sized
+    ([_BIN_WB, 128] f32 = 128 KiB) rather than table-sized, so there is no
+    _WIDE_VMEM_BYTES ceiling: tables beyond 2^19 rows stay on the MXU path
+    when this kernel is selected."""
     J = local_idx.shape[0]
     n_chunks = -(-J // _CHUNK)
     Jp = n_chunks * _CHUNK
