@@ -395,7 +395,9 @@ def matmul_scatter_add_oct_binned(local_idx: jax.Array, w8: jax.Array,
         cot2 = jnp.pad(cot2, ((0, pad), (0, 0)))
 
     ops = (key, *(w8[i] for i in range(8)), cot2[:, 0], cot2[:, 1])
-    key_s, *pay = jax.lax.sort(ops, num_keys=1)
+    # scatter-add is order-invariant: an unstable sort is enough (stable
+    # sorts cost extra comparator passes on TPU)
+    key_s, *pay = jax.lax.sort(ops, num_keys=1, is_stable=False)
     w8s = jnp.stack(pay[:8], axis=0)                             # [8, Jp]
     c2s = jnp.stack(pay[8:], axis=0)                             # [2, Jp]
 
