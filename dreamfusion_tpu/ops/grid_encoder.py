@@ -72,6 +72,12 @@ def _use_pallas_scatter(level_dim: int,
         return impl
     if impl == "pallas":
         return "pallas"
+    if impl != "auto":
+        # a typo'd DFTPU_SCATTER_IMPL silently re-measuring the default
+        # path would corrupt A/B data collected over the scarce tunnel
+        # windows — fail loudly instead
+        raise ValueError(f"unknown scatter impl {impl!r}; expected one of "
+                         "auto/xla/pallas/interpret/binned/binned-interpret")
     return "pallas" if jax.default_backend() == "tpu" else None
 
 

@@ -228,6 +228,20 @@ def _scatter_kernel_wide2(hi_ref, lo_ref, fine_ref, u_ref, out_ref):
 WIDE_VERSION = 2
 
 
+def _oct_b128(fine, w_row, c_row, fine_of_j, c_of_j):
+    """Shared B-matrix construction for the oct kernels: the [_SUB, 128]
+    update matrix b[u, fine*16 + c] = w_row[c>>1][u] * c_row[c&1][u] for
+    fine_u == fine, 0 elsewhere — the factored outer product formed on
+    VMEM vectors, cast to bf16 for the MXU. Traced inline by each kernel
+    (plain python helper, not a pallas primitive)."""
+    fmask = fine[:, None] == fine_of_j                           # [_SUB, 128]
+    uval = jnp.zeros((_SUB, _FINE_W * _C_ROW), jnp.float32)
+    for c in range(_C_ROW):
+        v = w_row[c >> 1] * c_row[c & 1]                         # [_SUB]
+        uval = jnp.where(c_of_j == c, v[:, None], uval)
+    return jnp.where(fmask, uval, 0.0)                           # [_SUB, 128]
+
+
 def _scatter_kernel_oct(coarse_ref, fine_ref, w_ref, c_ref, out_ref):
     """v1-structure wide kernel taking the oct update's FACTORS instead of
     the materialized [C_ROW, J] outer product: upd[c*2+j, u] = w_c[u] *
@@ -249,14 +263,9 @@ def _scatter_kernel_oct(coarse_ref, fine_ref, w_ref, c_ref, out_ref):
     c_of_j = jcol % _C_ROW
     for s in range(8):
         coarse = coarse_ref[0, s]       # [_SUB] i32 (padded entries = -1)
-        fine = fine_ref[0, s]           # [_SUB] i32
         a = (rows == coarse[None, :]).astype(jnp.bfloat16)       # [R, _SUB]
-        fmask = fine[:, None] == fine_of_j                       # [_SUB, 128]
-        uval = jnp.zeros((_SUB, _FINE_W * _C_ROW), jnp.float32)
-        for c in range(_C_ROW):
-            v = w_ref[0, s, c >> 1] * c_ref[0, s, c & 1]         # [_SUB]
-            uval = jnp.where(c_of_j == c, v[:, None], uval)
-        b = jnp.where(fmask, uval, 0.0).astype(jnp.bfloat16)     # [_SUB, 128]
+        b = _oct_b128(fine_ref[0, s], w_ref[0, s], c_ref[0, s],
+                      fine_of_j, c_of_j).astype(jnp.bfloat16)    # [_SUB, 128]
         acc += jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     out_ref[:] += acc
@@ -286,14 +295,9 @@ def _scatter_kernel_oct2(hi_ref, lo_ref, fine_ref, w_ref, c_ref, out_ref):
     for s in range(8):
         hi = hi_ref[0, s]               # [_SUB] i32 (padded entries = -1)
         lo = lo_ref[0, s]               # [_SUB] i32 in [0, _LO)
-        fine = fine_ref[0, s]           # [_SUB] i32 in [0, _FINE_W)
         a = (rows == hi[None, :]).astype(jnp.bfloat16)         # [RH, _SUB]
-        fmask = fine[:, None] == fine_of_j                     # [_SUB, 128]
-        uval = jnp.zeros((_SUB, _FINE_W * _C_ROW), jnp.float32)
-        for c in range(_C_ROW):
-            v = w_ref[0, s, c >> 1] * c_ref[0, s, c & 1]       # [_SUB]
-            uval = jnp.where(c_of_j == c, v[:, None], uval)
-        b128 = jnp.where(fmask, uval, 0.0)                     # [_SUB, 128]
+        b128 = _oct_b128(fine_ref[0, s], w_ref[0, s], c_ref[0, s],
+                         fine_of_j, c_of_j)                    # [_SUB, 128]
         bw = jnp.concatenate([b128] * _LO, axis=1)             # [_SUB, W]
         b = jnp.where(lo[:, None] == lo_of_w, bw, 0.0).astype(jnp.bfloat16)
         acc += jnp.dot(a, b, preferred_element_type=jnp.float32)
@@ -355,14 +359,9 @@ def _scatter_kernel_oct_binned(win_ref, chunk_ref, valid_ref,
     base = win * _BIN_WB
     for s in range(8):
         rel = crow_ref[0, s] - base     # [_SUB]; out-of-window -> no match
-        fine = fine_ref[0, s]
         a = ((rows == rel[None, :]) & live).astype(jnp.bfloat16)
-        fmask = fine[:, None] == fine_of_j                       # [_SUB, 128]
-        uval = jnp.zeros((_SUB, _FINE_W * _C_ROW), jnp.float32)
-        for c in range(_C_ROW):
-            v = w_ref[0, s, c >> 1] * c_ref[0, s, c & 1]         # [_SUB]
-            uval = jnp.where(c_of_j == c, v[:, None], uval)
-        b = jnp.where(fmask, uval, 0.0).astype(jnp.bfloat16)     # [_SUB, 128]
+        b = _oct_b128(fine_ref[0, s], w_ref[0, s], c_ref[0, s],
+                      fine_of_j, c_of_j).astype(jnp.bfloat16)    # [_SUB, 128]
         acc += jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     out_ref[:] += acc

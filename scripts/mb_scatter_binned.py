@@ -47,12 +47,16 @@ def main():
         print(f"--- J={J}, T={T}, R={R} chained ---", flush=True)
 
         def bare_sort(idx, w8, cot2):
+            # consume one element of EVERY output so the sort simplifier
+            # can't prune payload operands; is_stable=False matches the
+            # kernel's sort exactly
             acc = jnp.float32(0.0)
             for i in range(R):
                 ops = (((idx + i) % T), *(w8[c] for c in range(8)),
                        cot2[:, 0], cot2[:, 1])
-                out = jax.lax.sort(ops, num_keys=1)
-                acc += out[1][0] + out[0][0].astype(jnp.float32)
+                out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+                acc += out[0][0].astype(jnp.float32) + sum(
+                    o[i % T] for o in out[1:])
             return acc
 
         dt = run(bare_sort, idx, w8, cot2)

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from dreamfusion_tpu.guidance.sd.vae import sd15_vae
 
-# encoder FLOP at 512^2 (convs only, fwd): ~1.0 TFLOP; fwd+bwd ~3x
+# encoder FLOP at 512^2 (convs only, fwd): ~1.0 TFLOP; fwd+bwd ~3x;
+# scales with H^2 (blocks halve spatial while doubling channels)
 ENC_FWD_TFLOP = 1.02
 
 
@@ -60,7 +61,7 @@ def main():
         _ = float(cfn(x, key))
         best = min(best, time.perf_counter() - t0)
     per = best / args.reps
-    tflops = ENC_FWD_TFLOP * 3 / per
+    tflops = ENC_FWD_TFLOP * (args.H / 512) ** 2 * 3 / per
     print(f"vae encode fwd+bwd @ {args.H}^2: {per * 1e3:.1f} ms/call "
           f"(~{tflops:.0f} TFLOP/s achieved vs ~197 bf16 peak)", flush=True)
 

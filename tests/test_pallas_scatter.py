@@ -239,16 +239,19 @@ def test_oct_binned_skew_and_empty_windows():
 def test_oct_binned_in_encoder_bwd():
     """grid_encoder backward with scatter_impl='binned-interpret' matches
     the XLA oracle path end-to-end."""
-    # log2_hashmap_size=13: the largest level (8192 rows) crosses the
-    # binned-routing threshold while the small levels keep the unbinned
-    # kernel -- both paths in one backward
+    # gridtype="tiled" (the production grid backbone, networks.py): every
+    # level is affine so the OCT path runs; log2_hashmap_size=13 puts the
+    # largest level (8192 rows) past the binned-routing threshold while
+    # the small levels keep the unbinned kernel -- both paths in one
+    # backward. (gridtype="hash" would make the top level non-affine and
+    # silently skip the oct path entirely.)
     spec_x = GridEncoderSpec(input_dim=3, num_levels=4, level_dim=2,
                              base_resolution=8, per_level_scale=1.5,
-                             log2_hashmap_size=13, gridtype="hash",
+                             log2_hashmap_size=13, gridtype="tiled",
                              scatter_impl="xla")
     spec_b = GridEncoderSpec(input_dim=3, num_levels=4, level_dim=2,
                              base_resolution=8, per_level_scale=1.5,
-                             log2_hashmap_size=13, gridtype="hash",
+                             log2_hashmap_size=13, gridtype="tiled",
                              scatter_impl="binned-interpret")
     table = spec_x.init(jax.random.PRNGKey(0))
     x = jnp.asarray(np.random.RandomState(1).uniform(-0.9, 0.9, (64, 3)),
