@@ -184,8 +184,10 @@ def test_oct_v2_factorized_matches_oracle_and_v1(J, T):
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("J,T", [(5000, 65536), (3000, 4096), (2048, 728),
-                                 (300, 65536)])
+@pytest.mark.parametrize("J,T", [
+    (5000, 65536), (3000, 4096),
+    pytest.param(2048, 728, marks=pytest.mark.slow),
+    pytest.param(300, 65536, marks=pytest.mark.slow)])
 def test_oct_binned_matches_oracle(J, T):
     """The binned (sorted-window) oct kernel must agree with the XLA
     oracle, including duplicate indices, padded tails (J not a multiple of
@@ -236,6 +238,7 @@ def test_oct_binned_skew_and_empty_windows():
     assert float(np.abs(np.asarray(got[: 768 * 8])).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_oct_binned_in_encoder_bwd():
     """grid_encoder backward with scatter_impl='binned-interpret' matches
     the XLA oracle path end-to-end."""
