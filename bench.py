@@ -123,6 +123,23 @@ def pallas_check():
             np.asarray(got_b) / scale_o, np.asarray(oracle_o) / scale_o,
             atol=2e-2))
 
+        # flash-attention path of the SD attention core (compiled kernels
+        # only exist on TPU; the stock op has no interpret mode)
+        attn_ok = True
+        if not interp:
+            from dreamfusion_tpu.guidance.sd.layers import attention_core
+            kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
+            q = jax.random.normal(kq, (1, 2048, 2, 64), jnp.bfloat16)
+            kk_ = jax.random.normal(kk, q.shape, jnp.bfloat16)
+            vv = jax.random.normal(kv, q.shape, jnp.bfloat16)
+            fl = attention_core(q, kk_, vv, 0.125, jnp.bfloat16,
+                                impl="flash")
+            ei = attention_core(q, kk_, vv, 0.125, jnp.bfloat16,
+                                impl="einsum")
+            attn_ok = bool(np.allclose(np.asarray(fl, np.float32),
+                                       np.asarray(ei, np.float32),
+                                       rtol=2e-2, atol=2e-2))
+
         ka, kb, kc, kd = jax.random.split(jax.random.PRNGKey(1), 4)
         N, K = 64, 64
         sigmas = jax.random.uniform(ka, (N, K)) * 20.0
@@ -137,10 +154,11 @@ def pallas_check():
             and np.allclose(np.asarray(ws), np.asarray(ref.weights_sum),
                             rtol=1e-4, atol=1e-5))
         mode = "interpret" if interp else "compiled"
-        if scatter_ok and comp_ok:
+        if scatter_ok and comp_ok and attn_ok:
             return f"ok ({mode})"
         return (f"MISMATCH ({mode}): scatter={'ok' if scatter_ok else 'BAD'} "
-                f"composite={'ok' if comp_ok else 'BAD'}")
+                f"composite={'ok' if comp_ok else 'BAD'} "
+                f"attn={'ok' if attn_ok else 'BAD'}")
     except Exception as e:
         return f"error: {type(e).__name__}: {e}"
 

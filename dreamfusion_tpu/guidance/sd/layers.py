@@ -58,3 +58,59 @@ class TPUGroupNorm(nn.Module):
         return y * scale + bias                             # f32, like
                                                             # nn.GroupNorm(
                                                             #  dtype=f32)
+
+
+# ---------------------------------------------------------------------------
+# attention core: einsum vs Pallas flash attention
+# ---------------------------------------------------------------------------
+# The einsum path materializes the [B, H, Nq, Nk] score tensor (f32 for the
+# softmax): at SD's 64^2 latent that is 4096^2 x 8 heads x 4 B = 536 MB of
+# HBM traffic PER self-attention layer. The stock Pallas TPU flash kernel
+# (jax.experimental.pallas.ops.tpu.flash_attention) streams scores through
+# VMEM blocks instead. Routed like the scatter kernels: "auto" uses flash
+# on TPU for large self-attention, einsum elsewhere; DFTPU_ATTN_IMPL
+# overrides for on-device A/B. bench.py's pallas_check pins compiled
+# flash == einsum per TPU run (CI can only cross-lower it).
+#
+# Reference behavior matched: plain softmax(QK^T/sqrt(d))V (the reference
+# runs diffusers' vanilla attention, nerf/sd.py:39-46); flash reorders the
+# reduction only.
+
+import os as _os
+
+ATTN_IMPL = _os.environ.get("DFTPU_ATTN_IMPL", "auto")
+
+# flash pays off once the score tensor dwarfs q/k/v themselves; the stock
+# kernel also wants seq divisible by its 512-row q blocks
+_FLASH_MIN_SEQ = 2048
+
+
+def _use_flash(Nq: int, Nk: int, impl=None) -> bool:
+    impl = impl or ATTN_IMPL
+    if impl == "einsum":
+        return False
+    shape_ok = (Nq == Nk and Nq >= _FLASH_MIN_SEQ and Nq % 512 == 0)
+    if impl == "flash":
+        return shape_ok
+    if impl != "auto":
+        raise ValueError(f"unknown attention impl {impl!r}; expected "
+                         "auto/einsum/flash")
+    return shape_ok and jax.default_backend() == "tpu"
+
+
+def attention_core(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+                   dtype, impl=None) -> jax.Array:
+    """softmax(q k^T * scale) v over [B, N, H, D] inputs -> [B, Nq, H, D].
+
+    f32 softmax accumulation on both paths (flash accumulates f32 in VMEM;
+    the einsum path casts scores to f32 explicitly)."""
+    if _use_flash(q.shape[1], k.shape[1], impl):
+        from jax.experimental.pallas.ops.tpu.flash_attention import \
+            flash_attention
+
+        qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+        out = flash_attention(qt, kt, vt, sm_scale=scale)
+        return out.transpose(0, 2, 1, 3).astype(dtype)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn, v)

@@ -25,7 +25,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from dreamfusion_tpu.guidance.sd.layers import TPUGroupNorm
+from dreamfusion_tpu.guidance.sd.layers import (TPUGroupNorm,
+                                                attention_core)
 
 
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0,
@@ -103,9 +104,7 @@ class Attention(nn.Module):
         k = k.reshape(B, Nk, self.heads, self.head_dim)
         v = v.reshape(B, Nk, self.heads, self.head_dim)
         scale = 1.0 / math.sqrt(self.head_dim)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, Nq, inner)
+        out = attention_core(q, k, v, scale, self.dtype).reshape(B, Nq, inner)
         return nn.Dense(inner, dtype=self.dtype, name="to_out_0")(out)
 
 

@@ -12,13 +12,15 @@ the decoder serves txt2img and previews.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from dreamfusion_tpu.guidance.sd.layers import TPUGroupNorm
+from dreamfusion_tpu.guidance.sd.layers import (TPUGroupNorm,
+                                                attention_core)
 
 from dreamfusion_tpu.guidance.sd.unet import (Downsample2D, ResnetBlock2D,
                                               Upsample2D)
@@ -36,9 +38,9 @@ class VAEAttention(nn.Module):
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
-        attn = jnp.einsum("bqc,bkc->bqk", q, k) / jnp.sqrt(jnp.float32(C))
-        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", attn, v)
+        out = attention_core(q[:, :, None, :], k[:, :, None, :],
+                             v[:, :, None, :],
+                             1.0 / math.sqrt(C), self.dtype)[:, :, 0, :]
         out = nn.Dense(C, dtype=self.dtype, name="to_out_0")(out)
         return x + out.reshape(B, H, W, C)
 

@@ -73,3 +73,40 @@ def test_lower_composite_fused():
     _lower_tpu(lambda s, r, d, t: composite_fused(s, r, d, t),
                jnp.zeros((N, K)), jnp.zeros((N, K, 3)), jnp.zeros((N, K)),
                jnp.zeros((N, K)))
+
+
+@pytest.mark.parametrize("B,H,N,D,with_grad", [
+    (2, 8, 4096, 40, False),    # UNet 64^2 self-attn (fwd-only in SDS)
+    (1, 1, 4096, 512, True),    # VAE mid-block attn (in the SDS grad path)
+])
+def test_lower_flash_attention(B, H, N, D, with_grad):
+    """The SD attention core's flash path (and its VJP where the SDS loss
+    differentiates through it) must lower for the Mosaic TPU target at the
+    production shapes."""
+    from dreamfusion_tpu.guidance.sd.layers import attention_core
+
+    q = jnp.zeros((B, N, H, D), jnp.bfloat16)
+
+    def fwd(q, k, v):
+        return attention_core(q, k, v, 0.1, jnp.bfloat16, impl="flash")
+
+    if with_grad:
+        fn = jax.grad(lambda q, k, v: jnp.sum(
+            fwd(q, k, v).astype(jnp.float32)), argnums=(0, 1, 2))
+    else:
+        fn = fwd
+    _lower_tpu(fn, q, q, q)
+
+
+def test_attention_core_gate():
+    """auto -> einsum off-TPU; forced flash respects the shape gate; typos
+    raise (same discipline as DFTPU_SCATTER_IMPL)."""
+    from dreamfusion_tpu.guidance.sd import layers
+
+    assert not layers._use_flash(4096, 4096, impl="auto")  # CPU backend
+    assert layers._use_flash(4096, 4096, impl="flash")
+    assert not layers._use_flash(4096, 77, impl="flash")   # cross-attn
+    assert not layers._use_flash(1024, 1024, impl="flash")  # below min seq
+    assert not layers._use_flash(4096, 4096, impl="einsum")
+    with pytest.raises(ValueError):
+        layers._use_flash(4096, 4096, impl="flashh")
