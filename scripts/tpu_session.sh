@@ -31,3 +31,7 @@ fi
 if [ "$1" = 8 ]; then
   timeout 1200 python bench.py --grid_table_bf16 --skip_eval 2>&1 | tee /tmp/bench_r3_bf16tab.log
 fi
+# stage 9: attention impl A/B (flash is the new TPU default; isolate its effect)
+if [ "$1" = 9 ]; then
+  timeout 1200 env DFTPU_ATTN_IMPL=einsum python bench.py --skip_eval 2>&1 | tee /tmp/bench_r3_einsum_attn.log
+fi
