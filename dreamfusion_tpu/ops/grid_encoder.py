@@ -45,12 +45,16 @@ import numpy as np
 _PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
 _U32 = (1 << 32) - 1
 
-# Backward scatter implementation: "auto" picks the Pallas MXU matmul-scatter
-# on TPU and the XLA scatter-add elsewhere; "xla" forces the oracle path;
-# "interpret" runs the Pallas kernel in interpreter mode (CPU tests);
+# Backward scatter implementation: "auto" picks the Pallas sorted-window
+# (binned) matmul-scatter on TPU and the XLA scatter-add elsewhere; "xla"
+# forces the oracle path; "pallas" the unbinned MXU kernel; "interpret"
+# runs the Pallas kernel in interpreter mode (CPU tests);
 # "binned"/"binned-interpret" route large levels through the sorted-window
-# kernel (pallas_scatter.matmul_scatter_add_oct_binned). DFTPU_SCATTER_IMPL
-# overrides for on-device A/B runs.
+# kernel (pallas_scatter.matmul_scatter_add_oct_binned). Measured on v5e
+# (scripts/mb_scatter_binned.py, 2026-08-18): binned 3.99/2.81 ms vs
+# unbinned-v2 4.32/2.93 ms at J=262k/131k, and 3.647 vs 3.516 it/s
+# end-to-end — hence the auto default. DFTPU_SCATTER_IMPL overrides for
+# on-device A/B runs.
 SCATTER_IMPL = os.environ.get("DFTPU_SCATTER_IMPL", "auto")
 
 
@@ -78,7 +82,7 @@ def _use_pallas_scatter(level_dim: int,
         # windows — fail loudly instead
         raise ValueError(f"unknown scatter impl {impl!r}; expected one of "
                          "auto/xla/pallas/interpret/binned/binned-interpret")
-    return "pallas" if jax.default_backend() == "tpu" else None
+    return "binned" if jax.default_backend() == "tpu" else None
 
 
 @functools.lru_cache(maxsize=None)

@@ -314,18 +314,36 @@ def march_rays(key: Optional[jax.Array], occ: jax.Array, rays_o: jax.Array,
     return _compact(ts, dts, emits, K)[0]
 
 
-# How the single-cascade occupancy probe gathers from the 2M-cell table.
-# "pred" gathers the bool table directly; the train-step trace shows that
-# gather at ~120M probes/s (16.9 ms/step for a 2^21-probe march) — pred
-# elements may hit a slow path. "u8" gathers a uint8 view; "packed" packs
-# 32 z-cells per int32 word (64x smaller table; one extra shift+mask per
-# probe). Benchmarked on the real chip before changing the default;
-# DFTPU_PROBE_IMPL overrides for on-device A/B runs.
-PROBE_IMPL = os.environ.get("DFTPU_PROBE_IMPL", "pred")
+# How the probes gather from the 2M-cell occupancy/density tables.
+# "row" (default) reshapes the flat table to [T/128, 128] lane rows,
+# gathers whole rows and selects the lane with a fused one-hot reduce —
+# one gather moves full 128-lane tiles instead of single elements.
+# Measured on v5e (scripts/mb_occ_probe.py, 2M probes): 6.6 ms vs 20.9 ms
+# for the element take (3.2x), identical for coherent and random indices.
+# "pred" gathers the bool table directly (the round-3 trace showed it at
+# ~120M probes/s = 16.9 ms/step); "u8" gathers a uint8 view; "packed"
+# packs 32 z-cells per int32 word. DFTPU_PROBE_IMPL overrides for A/B.
+_PROBE_IMPLS = ("row", "pred", "u8", "packed")
+PROBE_IMPL = os.environ.get("DFTPU_PROBE_IMPL", "row")
+if PROBE_IMPL not in _PROBE_IMPLS:   # typo'd env must not silently re-measure
+    raise ValueError(f"DFTPU_PROBE_IMPL={PROBE_IMPL!r}; valid {_PROBE_IMPLS}")
+
+
+def _row_take(tab: jax.Array, flat_idx: jax.Array) -> jax.Array:
+    """Element gather tab[flat_idx] as a [T/128, 128] row gather + one-hot
+    lane reduce (the measured-fastest probe layout on TPU; see above).
+    Requires tab.size % 128 == 0; numeric dtypes only."""
+    rows = tab.reshape(tab.shape[0] // 128, 128)
+    r = jnp.take(rows, flat_idx >> 7, axis=0)            # [..., 128]
+    onehot = (flat_idx & 127)[..., None] == jnp.arange(
+        128, dtype=jnp.int32)
+    return jnp.sum(r * onehot.astype(r.dtype), axis=-1)
 
 
 def _probe_gather(occ_flat1: jax.Array, flat_idx: jax.Array) -> jax.Array:
     """Gather bool occupancy [T] at flat_idx [N, S] under PROBE_IMPL."""
+    if PROBE_IMPL == "row" and occ_flat1.shape[0] % 128 == 0:
+        return _row_take(occ_flat1.astype(jnp.uint8), flat_idx) != 0
     if PROBE_IMPL == "u8":
         return jnp.take(occ_flat1.astype(jnp.uint8), flat_idx, axis=0) != 0
     if PROBE_IMPL == "packed":
@@ -370,7 +388,7 @@ def _probe_occupancy(occ: jax.Array, rays_o: jax.Array, rays_d: jax.Array,
         idx_axes.append(n_d.astype(jnp.int32))
     flat_idx = ((idx_axes[0] * H + idx_axes[1]) * H + idx_axes[2]
                 + level * (H * H * H))
-    return jnp.take(occ.reshape(-1), flat_idx, axis=0)
+    return _probe_gather(occ.reshape(-1), flat_idx)
 
 
 def probe_density(density_grid: jax.Array, rays_o: jax.Array,
@@ -389,6 +407,8 @@ def probe_density(density_grid: jax.Array, rays_o: jax.Array,
         n_d = jnp.clip(0.5 * (x_d / bound + 1.0) * H, 0.0, H - 1.0)
         idx_axes.append(n_d.astype(jnp.int32))
     flat_idx = (idx_axes[0] * H + idx_axes[1]) * H + idx_axes[2]
+    if PROBE_IMPL == "row" and grid_flat.shape[0] % 128 == 0:
+        return _row_take(grid_flat, flat_idx)
     return jnp.take(grid_flat, flat_idx, axis=0)
 
 

@@ -856,12 +856,20 @@ class Trainer:
     def train(self, max_steps: Optional[int] = None, log_interval: int = 50,
               checkpoint_at_end: bool = True,
               profile_dir: Optional[str] = None,
-              profile_window: Tuple[int, int] = (0, 0)):
+              profile_window: Tuple[int, int] = (0, 0),
+              pin_programs: bool = False):
         """profile_dir + profile_window=(start, stop): capture a
         jax.profiler trace of steps [start, stop) into profile_dir
         (tensorboard-viewable; the SURVEY §5 tracing subsystem — the
         reference has only commented-out torch.cuda.synchronize probes,
-        nerf/sd.py:78-116)."""
+        nerf/sd.py:78-116).
+
+        pin_programs=True freezes the adaptive (K, M) bucket choice at its
+        current value for this window: no program switch — and therefore no
+        mid-window compile — can occur. Used by bench.py to guarantee a
+        measured window lands even on a cold compilation cache; the grid
+        refreshes themselves still run (they are part of the production
+        step cost)."""
         cfg = self.cfg
         max_steps = max_steps or cfg.iters
         t0 = time.time()
@@ -886,7 +894,8 @@ class Trainer:
                 self.grid_state = update_grid(
                     self.state.params, self.grid_state, kg,
                     step // cfg.update_extra_interval)
-                if (cfg.grid_K_adaptive and metrics is not None
+                if (cfg.grid_K_adaptive and not pin_programs
+                        and metrics is not None
                         and "count_q95" in metrics):
                     if (cfg.grid_K_policy == "live"
                             and "live_q95" in metrics):

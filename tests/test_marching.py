@@ -475,32 +475,41 @@ def test_probe_density_matches_cellwise():
 
 
 def test_probe_impl_variants_agree():
-    """All PROBE_IMPL gather variants (pred / u8 / packed) return the same
-    occupancy bits for the same probe set — the switch only changes the
-    gather's element representation, never the result."""
+    """All PROBE_IMPL gather variants (row / pred / u8 / packed) return the
+    same occupancy bits for the same probe set — the switch only changes the
+    gather's memory layout, never the result. Covers both the single- and
+    multi-cascade branches, plus probe_density's row path."""
     from dreamfusion_tpu.ops import marching
 
     key = jax.random.PRNGKey(11)
-    Hg = 32  # table size Hg^3 = 32768, divisible by 32 for the packed rep
-    occ = jax.random.uniform(key, (1, Hg, Hg, Hg)) < 0.15
+    Hg = 32  # table size Hg^3 = 32768, divisible by 32/128 for packed/row
     o = jax.random.uniform(jax.random.PRNGKey(1), (5, 3)) * 2.0 - 1.0
     d = jax.random.normal(jax.random.PRNGKey(2), (5, 3))
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     ts = jnp.linspace(0.05, 1.9, 40)[None, :].repeat(5, axis=0)
+    dgrid = jax.random.uniform(jax.random.PRNGKey(3), (1, Hg, Hg, Hg))
 
-    outs = {}
     orig = marching.PROBE_IMPL
-    try:
-        for impl in ("pred", "u8", "packed"):
-            marching.PROBE_IMPL = impl
-            outs[impl] = np.asarray(
-                marching._probe_occupancy(occ, o, d, ts, 1.0))
-    finally:
-        marching.PROBE_IMPL = orig
-    assert outs["pred"].dtype == np.bool_
-    np.testing.assert_array_equal(outs["pred"], outs["u8"])
-    np.testing.assert_array_equal(outs["pred"], outs["packed"])
-    assert outs["pred"].any() and not outs["pred"].all()
+    for C, bound in ((1, 1.0), (2, 2.0)):
+        occ = jax.random.uniform(key, (C, Hg, Hg, Hg)) < 0.15
+        outs, dens = {}, {}
+        try:
+            for impl in ("row", "pred", "u8", "packed"):
+                marching.PROBE_IMPL = impl
+                outs[impl] = np.asarray(
+                    marching._probe_occupancy(occ, o, d, ts, bound))
+                if C == 1:
+                    dens[impl] = np.asarray(
+                        marching.probe_density(dgrid, o, d, ts, bound))
+        finally:
+            marching.PROBE_IMPL = orig
+        assert outs["pred"].dtype == np.bool_
+        for impl in ("row", "u8", "packed"):
+            np.testing.assert_array_equal(outs["pred"], outs[impl],
+                                          err_msg=f"{impl} C={C}")
+        assert outs["pred"].any() and not outs["pred"].all()
+        if C == 1:
+            np.testing.assert_allclose(dens["row"], dens["pred"], rtol=1e-6)
 
 
 def test_windowed_march_equals_full_march():
