@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +57,7 @@ def test_sh_low_order_matches_reference_table():
     np.testing.assert_allclose(out, expect, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sh_orthonormality_high_degree():
     """Monte-Carlo check that 4*pi*E[Y_i Y_j] = delta_ij for degree 8."""
     key = jax.random.PRNGKey(0)

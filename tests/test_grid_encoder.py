@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -135,6 +137,7 @@ def test_full_size_config_builds():
     assert out.shape == (8, 32)
 
 
+@pytest.mark.slow
 def test_bf16_table_gather_close_to_f32_with_grads():
     """-O casts the embedding table to bf16 for the gathers (HBM traffic);
     output and table grads must stay within bf16 tolerance of f32 and flow

@@ -669,12 +669,12 @@ def test_render_grid_compact_matches_dense():
 
     from dreamfusion_tpu import cameras
     poses, _ = cameras.circle_poses(jnp.array([40.0]), radius=2.0)
-    H = W = 12
+    H = W = 8   # shapes chosen for compile time: 6 jit programs dominate
     focal = float(cameras.fov_to_focal(50.0, H))
     rays = cameras.get_rays(poses, jnp.array([focal, focal, W / 2, H / 2]),
                             H, W)
     ro, rd = rays.origins[0], rays.directions[0]
-    K = 32
+    K = 16
 
     def make_fns(scale):
         def field(x, d, l, r, s):
@@ -685,11 +685,11 @@ def test_render_grid_compact_matches_dense():
                         background=None)
 
     dense = render_grid(jax.random.PRNGKey(1), make_fns(1.0), state, ro, rd,
-                        bound=1.0, max_steps=64, K=K, bg_radius=0.0)
+                        bound=1.0, max_steps=32, K=K, bg_radius=0.0)
     # budget >= every valid sample (counts bounded by K per ray)
     M = H * W * K // 2
     comp = render_grid(jax.random.PRNGKey(1), make_fns(1.0), state, ro, rd,
-                       bound=1.0, max_steps=64, K=K, bg_radius=0.0,
+                       bound=1.0, max_steps=32, K=K, bg_radius=0.0,
                        compact_M=M)
     for key in ("image", "depth", "weights_sum"):
         np.testing.assert_allclose(np.asarray(comp[key]),
@@ -698,7 +698,7 @@ def test_render_grid_compact_matches_dense():
 
     def loss(scale, M_):
         out = render_grid(jax.random.PRNGKey(1), make_fns(scale), state,
-                          ro, rd, bound=1.0, max_steps=64, K=K,
+                          ro, rd, bound=1.0, max_steps=32, K=K,
                           bg_radius=0.0, compact_M=M_)
         return jnp.sum(out["image"] ** 2) + jnp.sum(out["weights_sum"])
 
@@ -708,7 +708,7 @@ def test_render_grid_compact_matches_dense():
 
     # truncating budget still renders finite, slightly-less-opaque images
     tight = render_grid(jax.random.PRNGKey(1), make_fns(1.0), state, ro, rd,
-                        bound=1.0, max_steps=64, K=K, bg_radius=0.0,
+                        bound=1.0, max_steps=32, K=K, bg_radius=0.0,
                         compact_M=256)
     assert np.isfinite(np.asarray(tight["image"])).all()
     assert float(jnp.sum(tight["weights_sum"])) <= \

@@ -77,6 +77,7 @@ def test_osr_variants_render_and_grad(name, kw):
             assert live.min() >= field.shadow_bar - 1e-5
 
 
+@pytest.mark.slow
 def test_osr_v6_zero_k0_init():
     field = OSR_Fine_V6(world_size=(4, 4, 4), k0_dim=3,
                         rgbnet_name="basicmlp", rgbnet_width=8,

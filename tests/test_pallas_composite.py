@@ -71,6 +71,7 @@ def test_fused_analytic_backward_matches_autodiff():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_T_thresh_matches_jnp_values_and_grads():
     """Transmittance early-stop mask: fused kernel == jnp compositor in
     values AND gradients (the bwd kernel re-derives the masked formula)."""
