@@ -270,20 +270,30 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
     shade_cache: Dict[Any, Any] = {}
 
     def get_shade(Kb: int, with_bg: bool):
+        """Shade one sorted ray group AND paste it into the frame buffers
+        in the same program — over the axon tunnel each dispatch costs
+        ~10-30 ms of issue latency, and the r3 eval trace showed ~half the
+        800^2 frame wall was dispatch issue (3 dispatches per flagged
+        group); folding the paste drops one."""
         if (Kb, with_bg) not in shade_cache:
             @jax.jit
-            def shade(params, ts, dts, valid, o, d, nears, fars,
-                      shading_code, ambient_ratio, light_d, bg_color):
+            def shade(params, image, depth, ws, start, ts, dts, valid,
+                      o, d, nears, fars, shading_code, ambient_ratio,
+                      light_d, bg_color):
                 m = MarchOut(ts=ts, dts=dts, valid=valid,
                              counts=valid.sum(axis=1))
                 fns = make_field_fns(model, params)._replace(normal=None)
                 bg = (jnp.broadcast_to(bg_color, (o.shape[0], 3))
                       if with_bg else None)
-                return shade_march(
+                out = shade_march(
                     fns, m, o, d, nears, fars, K=Kb, bound=cfg.bound,
                     light_d=light_d, ambient_ratio=ambient_ratio,
                     shading_code=shading_code, bg_radius=cfg.bg_radius,
                     bg_color=bg, pallas_composite=cfg.pallas_composite)
+                up = lambda a, b: jax.lax.dynamic_update_slice_in_dim(
+                    a, b, start, 0)
+                return (up(image, out["image"]), up(depth, out["depth"]),
+                        up(ws, out["weights_sum"]))
 
             shade_cache[(Kb, with_bg)] = shade
         return shade_cache[(Kb, with_bg)]
@@ -396,7 +406,14 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         per ladder length."""
         if S not in march_cache:
             @jax.jit
-            def march_group(occ, density_grid, mean_density, o, d, t_lo):
+            def march_group(occ, density_grid, mean_density,
+                            o_s, d_s, tlo_s, start):
+                # slice the group INSIDE the program: an eager
+                # dynamic_slice costs a tunnel dispatch per operand per
+                # group (~10-30 ms issue latency each)
+                sl = lambda x: jax.lax.dynamic_slice_in_dim(
+                    x, start, group, 0)
+                o, d, t_lo = sl(o_s), sl(d_s), sl(tlo_s)
                 nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
                 thresh = jnp.minimum(mean_density, cfg.density_thresh)
                 m, sig_est = march_rays_window(
@@ -414,7 +431,7 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                         axis=1)
                     live = m.valid & (depth_ex < _LIVE_LOGT)
                     glive = jnp.max(jnp.sum(live, axis=1))  # <= count
-                return m, nears, fars, jnp.stack(
+                return m, o, d, nears, fars, jnp.stack(
                     [glive.astype(jnp.float32), gcount.astype(jnp.float32)])
 
             march_cache[S] = march_group
@@ -463,11 +480,14 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             zk = jnp.zeros((group, cfg.grid_K))
             zv = jnp.zeros((group, cfg.grid_K), bool)
             z1 = jnp.zeros((group,))
+            zimg = jnp.zeros((Np, 3))
+            zdep = jnp.zeros((Np,))
             warm = (cfg.eval_warm_buckets if cfg.eval_warm_buckets
                     else (16, 32, 48, 64, 96, 128, 192, 256))
             Kb_ladder = {_pick_K_bucket(float(b), cfg.grid_K) for b in warm}
             for Kb in sorted(Kb_ladder):
-                get_shade(Kb, with_bg)(params, zk, zk, zv, zg, zg, z1, z1,
+                get_shade(Kb, with_bg)(params, zimg, zdep, zdep, 0,
+                                       zk, zk, zv, zg, zg, z1, z1,
                                        shading_code, ambient_ratio,
                                        light_d, bg)
             # march-ladder warm-up (one program per lattice-length bucket;
@@ -477,10 +497,12 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             # in the persistent cache.
             warm_S = ([S_ladder[-1]] if cfg.eval_warm_buckets
                       else S_ladder)
+            zNp = jnp.zeros((Np, 3))
             for S in warm_S:
                 get_march(S)(grid_state.occ, grid_state.density_grid,
-                             grid_state.mean_density, zg,
-                             jnp.ones((group, 3)) / 3 ** 0.5, z1)
+                             grid_state.mean_density, zNp,
+                             jnp.ones((Np, 3)) / 3 ** 0.5,
+                             jnp.zeros((Np,)), 0)
 
         # 1. one-dispatch coarse classify + sort (bg rays first); ONE
         # transfer brings every group's pooled-probe max count + emit-
@@ -504,31 +526,27 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             if gstats_host[g, 0] == 0.0:
                 break                              # sorted: the rest is bg
             start = Np - (seg + 1) * group         # static size, traced start
-            o_g = jax.lax.dynamic_slice_in_dim(o_s, start, group, 0)
-            d_g = jax.lax.dynamic_slice_in_dim(d_s, start, group, 0)
-            t_g = jax.lax.dynamic_slice_in_dim(tlo_s, start, group, 0)
             span = float(gstats_host[g, 1])
             S = next((s for s in S_ladder if s >= span), S_ladder[-1])
-            m, nears_g, fars_g, stats = get_march(S)(
+            m, o_g, d_g, nears_g, fars_g, stats = get_march(S)(
                 grid_state.occ, grid_state.density_grid,
-                grid_state.mean_density, o_g, d_g, t_g)
+                grid_state.mean_density, o_s, d_s, tlo_s, start)
             marched.append((start, o_g, d_g, m, nears_g, fars_g, stats))
 
         if marched:
             stats_host = np.asarray(jnp.stack([t[6] for t in marched]))
             # 4. shade each flagged group at its live bucket (exact march
-            # counts capped by the transmittance-live estimate)
+            # counts capped by the transmittance-live estimate), pasting
+            # into the frame buffers inside the same dispatch
             for (start, o_g, d_g, m, nears_g, fars_g, _), (glive, gcount) \
                     in zip(marched, stats_host):
                 if gcount == 0.0:
                     continue                       # coarse flag, truly empty
                 Kb = _pick_K_bucket(float(max(glive, 1.0)), cfg.grid_K)
-                out = get_shade(Kb, with_bg)(
-                    params, m.ts, m.dts, m.valid, o_g, d_g, nears_g,
-                    fars_g, shading_code, ambient_ratio, light_d, bg)
-                image, depth, ws = paste(image, depth, ws, out["image"],
-                                         out["depth"], out["weights_sum"],
-                                         start)
+                image, depth, ws = get_shade(Kb, with_bg)(
+                    params, image, depth, ws, start, m.ts, m.dts, m.valid,
+                    o_g, d_g, nears_g, fars_g, shading_code, ambient_ratio,
+                    light_d, bg)
 
         image, depth, ws = unsort(image, depth, ws, perm)  # 5. one dispatch
         return {"image": image, "depth": depth, "weights_sum": ws}
@@ -553,23 +571,25 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             counts, ts, dts, valid, rays_o, rays_d, nears, fars)
         gmax_host = np.asarray(gmax)
 
-        outs = []
+        image = jnp.zeros((Np, 3))
+        depth = jnp.zeros((Np,))
+        ws = jnp.zeros((Np,))
         for g in range(Np // group):
             sl = slice(g * group, (g + 1) * group)
+            start = g * group
             maxc = int(gmax_host[g])
             if maxc == 0:
                 out = get_bg_only(with_bg)(params, d_s[sl], bg)
+                image, depth, ws = paste(image, depth, ws, out["image"],
+                                         out["depth"], out["weights_sum"],
+                                         start)
             else:
                 Kb = _pick_K_bucket(float(maxc), cfg.grid_K)
-                out = get_shade(Kb, with_bg)(
-                    params, ts[sl], dts[sl], valid[sl], o_s[sl], d_s[sl],
-                    nears_s[sl], fars_s[sl], shading_code, ambient_ratio,
-                    light_d, bg)
-            outs.append(out)
+                image, depth, ws = get_shade(Kb, with_bg)(
+                    params, image, depth, ws, start, ts[sl], dts[sl],
+                    valid[sl], o_s[sl], d_s[sl], nears_s[sl], fars_s[sl],
+                    shading_code, ambient_ratio, light_d, bg)
 
-        image = jnp.concatenate([o_["image"] for o_ in outs], 0)
-        depth = jnp.concatenate([o_["depth"] for o_ in outs], 0)
-        ws = jnp.concatenate([o_["weights_sum"] for o_ in outs], 0)
         inv = jnp.argsort(perm)
         image = jnp.take(image, inv, axis=0)[:N]
         depth = jnp.take(depth, inv, axis=0)[:N]

@@ -210,10 +210,11 @@ def test_oct_binned_matches_oracle(J, T):
     scale = np.abs(upd).max()
     np.testing.assert_allclose(np.asarray(got) / scale, want / scale,
                                atol=2e-2)
-    # binned and unbinned kernels do the same bf16 products in a different
-    # order; f32 accumulation keeps them close but not bit-identical
+    # binned rounds each FACTOR to bf16 before the product (the packed
+    # sort payload), v2 rounds the f32 product once — one extra bf16
+    # rounding (~2^-8 relative per factor) plus accumulation-order drift
     np.testing.assert_allclose(np.asarray(got) / scale,
-                               np.asarray(v2) / scale, atol=2e-3)
+                               np.asarray(v2) / scale, atol=1.2e-2)
 
 
 def test_oct_binned_skew_and_empty_windows():
