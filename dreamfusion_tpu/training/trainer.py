@@ -269,17 +269,24 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
 
     shade_cache: Dict[Any, Any] = {}
 
-    def get_shade(Kb: int, with_bg: bool):
+    def get_shade(Kb: int, with_bg: bool, shading_code: int = 0):
         """Shade one sorted ray group AND paste it into the frame buffers
         in the same program — over the axon tunnel each dispatch costs
         ~10-30 ms of issue latency, and the r3 eval trace showed ~half the
         800^2 frame wall was dispatch issue (3 dispatches per flagged
-        group); folding the paste drops one."""
-        if (Kb, with_bg) not in shade_cache:
+        group); folding the paste drops one.
+
+        shading_code is STATIC (part of the program key): a traced code
+        wraps the field query in a lax.cond — a fusion barrier whose
+        operands round-trip HBM and whose unexecuted shaded branch still
+        ships normals code (r3 eval trace: the cond was the largest single
+        op container). Eval renders one shading mode per frame; GUI mode
+        switches compile on demand and land in the persistent cache."""
+        key = (Kb, with_bg, shading_code)
+        if key not in shade_cache:
             @jax.jit
             def shade(params, image, depth, ws, start, ts, dts, valid,
-                      o, d, nears, fars, shading_code, ambient_ratio,
-                      light_d, bg_color):
+                      o, d, nears, fars, ambient_ratio, light_d, bg_color):
                 m = MarchOut(ts=ts, dts=dts, valid=valid,
                              counts=valid.sum(axis=1))
                 fns = make_field_fns(model, params)._replace(normal=None)
@@ -295,8 +302,8 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                 return (up(image, out["image"]), up(depth, out["depth"]),
                         up(ws, out["weights_sum"]))
 
-            shade_cache[(Kb, with_bg)] = shade
-        return shade_cache[(Kb, with_bg)]
+            shade_cache[key] = shade
+        return shade_cache[key]
 
     bg_cache: Dict[bool, Any] = {}
     _warmed: set = set()
@@ -486,10 +493,9 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                     else (16, 32, 48, 64, 96, 128, 192, 256))
             Kb_ladder = {_pick_K_bucket(float(b), cfg.grid_K) for b in warm}
             for Kb in sorted(Kb_ladder):
-                get_shade(Kb, with_bg)(params, zimg, zdep, zdep, 0,
-                                       zk, zk, zv, zg, zg, z1, z1,
-                                       shading_code, ambient_ratio,
-                                       light_d, bg)
+                get_shade(Kb, with_bg, int(shading_code))(
+                    params, zimg, zdep, zdep, 0, zk, zk, zv, zg, zg,
+                    z1, z1, ambient_ratio, light_d, bg)
             # march-ladder warm-up (one program per lattice-length bucket;
             # a mid-sequence pose must never hit an uncompiled length).
             # Trimmed warm mode (eval_warm_buckets set) compiles only the
@@ -543,10 +549,10 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                 if gcount == 0.0:
                     continue                       # coarse flag, truly empty
                 Kb = _pick_K_bucket(float(max(glive, 1.0)), cfg.grid_K)
-                image, depth, ws = get_shade(Kb, with_bg)(
+                image, depth, ws = get_shade(Kb, with_bg,
+                                             int(shading_code))(
                     params, image, depth, ws, start, m.ts, m.dts, m.valid,
-                    o_g, d_g, nears_g, fars_g, shading_code, ambient_ratio,
-                    light_d, bg)
+                    o_g, d_g, nears_g, fars_g, ambient_ratio, light_d, bg)
 
         image, depth, ws = unsort(image, depth, ws, perm)  # 5. one dispatch
         return {"image": image, "depth": depth, "weights_sum": ws}
@@ -585,10 +591,11 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                                          start)
             else:
                 Kb = _pick_K_bucket(float(maxc), cfg.grid_K)
-                image, depth, ws = get_shade(Kb, with_bg)(
+                image, depth, ws = get_shade(Kb, with_bg,
+                                             int(shading_code))(
                     params, image, depth, ws, start, ts[sl], dts[sl],
                     valid[sl], o_s[sl], d_s[sl], nears_s[sl], fars_s[sl],
-                    shading_code, ambient_ratio, light_d, bg)
+                    ambient_ratio, light_d, bg)
 
         inv = jnp.argsort(perm)
         image = jnp.take(image, inv, axis=0)[:N]
