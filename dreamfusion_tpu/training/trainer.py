@@ -305,6 +305,40 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             shade_cache[key] = shade
         return shade_cache[key]
 
+    def get_shade_compact(Mb: int, with_bg: bool, shading_code: int = 0):
+        """Single-cascade shade at a GLOBAL compact sample budget: the
+        field (encoder gathers + MLP) runs at Mb = bucket(mean live) *
+        group samples instead of group * Kb dense slots — encoder row
+        gathers, the dominant device cost of the r3 ball-trace shade,
+        scale with the group's MEAN transmittance-live count rather than
+        its max bucket. One program per (M bucket, bg, code); the column
+        budget stays cfg.grid_K (dense compositing over [group, K] is
+        gather-free and cheap)."""
+        key = ("c", Mb, with_bg, shading_code)
+        if key not in shade_cache:
+            @jax.jit
+            def shade(params, image, depth, ws, start, ts, dts, valid,
+                      o, d, nears, fars, ambient_ratio, light_d, bg_color):
+                m = MarchOut(ts=ts, dts=dts, valid=valid,
+                             counts=valid.sum(axis=1))
+                fns = make_field_fns(model, params)._replace(normal=None)
+                bg = (jnp.broadcast_to(bg_color, (o.shape[0], 3))
+                      if with_bg else None)
+                out = shade_march(
+                    fns, m, o, d, nears, fars, K=cfg.grid_K,
+                    bound=cfg.bound, light_d=light_d,
+                    ambient_ratio=ambient_ratio,
+                    shading_code=shading_code, bg_radius=cfg.bg_radius,
+                    bg_color=bg, pallas_composite=cfg.pallas_composite,
+                    compact_M=Mb)
+                up = lambda a, b: jax.lax.dynamic_update_slice_in_dim(
+                    a, b, start, 0)
+                return (up(image, out["image"]), up(depth, out["depth"]),
+                        up(ws, out["weights_sum"]))
+
+            shade_cache[key] = shade
+        return shade_cache[key]
+
     bg_cache: Dict[bool, Any] = {}
     _warmed: set = set()
 
@@ -430,16 +464,27 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                 gcount = jnp.max(jnp.minimum(m.counts, cfg.grid_K))
                 if sig_est is None:      # multi-cascade: the mip-aware
                     glive = gcount       # sigma probe isn't built; shade
+                    ltot = jnp.float32(-1.0)   # dense-bucket shade
                 else:                    # at the exact count bucket
                     depth_ex = jnp.cumsum(
                         jnp.maximum(sig_est, 0.0) * m.dts * m.valid, axis=1)
                     depth_ex = jnp.concatenate(
                         [jnp.zeros((o.shape[0], 1)), depth_ex[:, :-1]],
                         axis=1)
+                    # live is a PREFIX of valid (depth_ex is monotone), so
+                    # masking keeps the compact/prefix slot invariant; the
+                    # masked tail has estimated optical depth > 3x the
+                    # T<1e-4 budget (the CUDA per-ray early break,
+                    # raymarching.cu:557, at per-sample granularity)
                     live = m.valid & (depth_ex < _LIVE_LOGT)
-                    glive = jnp.max(jnp.sum(live, axis=1))  # <= count
+                    live_counts = jnp.sum(live, axis=1)
+                    m = MarchOut(ts=m.ts, dts=m.dts, valid=live,
+                                 counts=live_counts)
+                    glive = jnp.max(live_counts)
+                    ltot = jnp.sum(live_counts).astype(jnp.float32)
                 return m, o, d, nears, fars, jnp.stack(
-                    [glive.astype(jnp.float32), gcount.astype(jnp.float32)])
+                    [glive.astype(jnp.float32), gcount.astype(jnp.float32),
+                     ltot])
 
             march_cache[S] = march_group
         return march_cache[S]
@@ -493,9 +538,17 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                     else (16, 32, 48, 64, 96, 128, 192, 256))
             Kb_ladder = {_pick_K_bucket(float(b), cfg.grid_K) for b in warm}
             for Kb in sorted(Kb_ladder):
-                get_shade(Kb, with_bg, int(shading_code))(
-                    params, zimg, zdep, zdep, 0, zk, zk, zv, zg, zg,
-                    z1, z1, ambient_ratio, light_d, bg)
+                if cfg.cascade == 1:
+                    # single-cascade frames shade through the compact
+                    # budget; warm the same bucket values as M buckets
+                    get_shade_compact(Kb * group, with_bg,
+                                      int(shading_code))(
+                        params, zimg, zdep, zdep, 0, zk, zk, zv, zg, zg,
+                        z1, z1, ambient_ratio, light_d, bg)
+                else:
+                    get_shade(Kb, with_bg, int(shading_code))(
+                        params, zimg, zdep, zdep, 0, zk, zk, zv, zg, zg,
+                        z1, z1, ambient_ratio, light_d, bg)
             # march-ladder warm-up (one program per lattice-length bucket;
             # a mid-sequence pose must never hit an uncompiled length).
             # Trimmed warm mode (eval_warm_buckets set) compiles only the
@@ -544,15 +597,29 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             # 4. shade each flagged group at its live bucket (exact march
             # counts capped by the transmittance-live estimate), pasting
             # into the frame buffers inside the same dispatch
-            for (start, o_g, d_g, m, nears_g, fars_g, _), (glive, gcount) \
-                    in zip(marched, stats_host):
+            for (start, o_g, d_g, m, nears_g, fars_g, _), \
+                    (glive, gcount, ltot) in zip(marched, stats_host):
                 if gcount == 0.0:
                     continue                       # coarse flag, truly empty
-                Kb = _pick_K_bucket(float(max(glive, 1.0)), cfg.grid_K)
-                image, depth, ws = get_shade(Kb, with_bg,
-                                             int(shading_code))(
-                    params, image, depth, ws, start, m.ts, m.dts, m.valid,
-                    o_g, d_g, nears_g, fars_g, ambient_ratio, light_d, bg)
+                if ltot >= 0.0:
+                    # single-cascade: field query at the group's MEAN live
+                    # count (global compact budget); the slack covers the
+                    # proportional-truncation floor
+                    mean_live = max(ltot / group, 1.0)
+                    mb = _pick_K_bucket(mean_live * cfg.grid_compact_slack,
+                                        cfg.grid_K)
+                    image, depth, ws = get_shade_compact(
+                        mb * group, with_bg, int(shading_code))(
+                        params, image, depth, ws, start, m.ts, m.dts,
+                        m.valid, o_g, d_g, nears_g, fars_g, ambient_ratio,
+                        light_d, bg)
+                else:
+                    Kb = _pick_K_bucket(float(max(glive, 1.0)), cfg.grid_K)
+                    image, depth, ws = get_shade(Kb, with_bg,
+                                                 int(shading_code))(
+                        params, image, depth, ws, start, m.ts, m.dts,
+                        m.valid, o_g, d_g, nears_g, fars_g, ambient_ratio,
+                        light_d, bg)
 
         image, depth, ws = unsort(image, depth, ws, perm)  # 5. one dispatch
         return {"image": image, "depth": depth, "weights_sum": ws}
