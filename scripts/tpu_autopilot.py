@@ -1,4 +1,4 @@
-"""Unattended TPU measurement autopilot for the round-3 stage plan.
+"""Unattended TPU measurement autopilot (round-4 stage plan).
 
 The axon tunnel has been wedged for long stretches (NOTES.md round-3c);
 working windows are scarce and may open while nobody is watching. This
@@ -6,10 +6,12 @@ orchestrator exploits any window automatically:
 
   - waits for the device (subprocess probe; the orchestrator itself never
     imports jax, so it cannot wedge),
-  - runs the measurement stages of scripts/tpu_session.sh in priority
-    order, each as a `timeout`-bounded subprocess,
-  - applies the stage-6 decision rule (re-bench with the binned scatter
-    only if it beats v2 at BOTH production J) automatically,
+  - runs the measurement stages in priority order, each as a
+    `timeout`-bounded subprocess,
+  - enforces a FIXED-COMMIT tree guard: the round-3 autopilot's A/B
+    stages were invalidated by measuring across commits on cold caches;
+    now every stage refuses to run unless HEAD equals the plan commit
+    and the tree is clean,
   - re-probes the device between stages and goes back to waiting if the
     tunnel wedges mid-plan,
   - persists per-stage state in STATE_DIR so a restart resumes where it
@@ -23,7 +25,6 @@ Usage:  nohup python scripts/tpu_autopilot.py > /tmp/autopilot/driver.log 2>&1 &
 """
 import json
 import os
-import re
 import subprocess
 import sys
 import time
@@ -104,33 +105,6 @@ def last_json_line(text: str):
     return None
 
 
-def parse_binned_ab(text: str):
-    """Parse mb_scatter_binned output into {J: {label: ms}}."""
-    out, j = {}, None
-    for line in text.splitlines():
-        m = re.match(r"--- J=(\d+),", line)
-        if m:
-            j = int(m.group(1))
-            out[j] = {}
-            continue
-        m = re.match(r"(.+?)\s*:\s*([0-9.]+) ms", line)
-        if m and j is not None:
-            out[j][m.group(1).strip()] = float(m.group(2))
-    return out
-
-
-def binned_wins(ab) -> bool:
-    """Stage-6 gate: binned beats v2 at BOTH production J."""
-    need = [262144, 131072]
-    for j in need:
-        tbl = ab.get(j, {})
-        b = tbl.get("oct binned (sort+k)")
-        v2 = tbl.get("oct v2 (default)")
-        if b is None or v2 is None or b >= v2:
-            return False
-    return True
-
-
 def summarize():
     lines = ["# autopilot summary", ""]
     for name in STAGE_ORDER:
@@ -147,52 +121,81 @@ def summarize():
 
 
 PY = sys.executable
+
+# Round-4 plan. All it/s stages are valid A/Bs ONLY against the same tree:
+# the round-3 autopilot invalidated stages 8-9 by measuring across commits
+# with cold caches (NOTES r3). PLAN_COMMIT pins the tree; see check_tree().
+PLAN_COMMIT = None  # set via --commit or AUTOPILOT_COMMIT; None = HEAD at start
 STAGES = {
-    # THE round deliverable: a clean bench number + warm compile cache.
-    "s1_bench": ([PY, "bench.py"], 1500, None),
-    # binned-vs-v2 scatter A/B (the 88 ms/step lever).
-    "s5_binned_ab": ([PY, "scripts/mb_scatter_binned.py"], 1200, None),
-    # conditional: re-bench with binned as the scatter impl.
-    "s6_bench_binned": ([PY, "bench.py", "--skip_eval"], 1200,
-                        {"DFTPU_SCATTER_IMPL": "binned"}),
-    # probe-gather impl A/B (17 ms/step train + big eval share).
-    "s2_probe_ab": ([PY, "scripts/mb_occ_probe.py"], 900, None),
-    # post-v5 eval profile at 800^2 on the trained-shape ball scene.
-    "s3_eval800": ([PY, "scripts/profile_eval.py", "--ball", "--H", "800",
+    # full bench on the settled tree: train it/s + pallas_check + both
+    # eval metrics; also (re)warms the persistent cache for the driver.
+    "s1_bench": ([PY, "bench.py", "--deadline", "2400"], 2600, None),
+    # compaction A/B (VERDICT r3 next #2): default-on vs off.
+    "s2_nocompact": ([PY, "bench.py", "--skip_eval", "--no_grid_compact",
+                      "--deadline", "1500"], 1700, None),
+    # bf16 hash-table A/B (stale two rounds, VERDICT r3 next #4).
+    "s3_bf16tab": ([PY, "bench.py", "--grid_table_bf16", "--skip_eval",
+                    "--deadline", "1500"], 1700, None),
+    # attention impl A/B (flash default; isolate vs einsum).
+    "s4_attn": ([PY, "bench.py", "--skip_eval", "--deadline", "1500"], 1700,
+                {"DFTPU_ATTN_IMPL": "einsum"}),
+    # train trace on the settled programs (scatter-copy + next levers).
+    "s5_train_trace": ([PY, "bench.py", "--skip_eval", "--profile",
+                        os.path.join(STATE_DIR, "prof_train"),
+                        "--deadline", "1500"], 1700, None),
+    # eval residual attribution after the r3d restructure.
+    "s6_eval800": ([PY, "scripts/profile_eval.py", "--ball", "--H", "800",
                     "--out", os.path.join(STATE_DIR, "trace_eval800")],
                    1800, None),
-    # VAE encode diagnosis (45 ms/step at 19% MXU).
+    # VAE encode re-diagnosis (57.5 ms fwd+bwd @512^2, 27% MXU).
     "s7_vae": ([PY, "scripts/mb_sd_vae.py"], 1200, None),
-    # bf16 hash-table A/B (VERDICT weak #3).
-    "s8_bf16tab": ([PY, "bench.py", "--grid_table_bf16", "--skip_eval"],
-                   1200, None),
-    # attention impl A/B (flash is the new default; isolate its effect).
-    "s9_attn": ([PY, "bench.py", "--skip_eval"], 1200,
-                {"DFTPU_ATTN_IMPL": "einsum"}),
-    # train trace post-compaction (diagnosis material for the next levers).
-    "s4_train_trace": ([PY, "bench.py", "--skip_eval", "--profile",
-                        os.path.join(STATE_DIR, "prof_train")], 1800, None),
 }
-STAGE_ORDER = ["s1_bench", "s5_binned_ab", "s6_bench_binned", "s2_probe_ab",
-               "s3_eval800", "s7_vae", "s8_bf16tab", "s9_attn",
-               "s4_train_trace"]
+STAGE_ORDER = ["s1_bench", "s2_nocompact", "s3_bf16tab", "s4_attn",
+               "s5_train_trace", "s6_eval800", "s7_vae"]
+
+
+def tree_state():
+    """(commit, dirty) of the repo the stages would measure."""
+    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                          capture_output=True, text=True).stdout.strip()
+    dirty = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
+                           capture_output=True, text=True).stdout.strip()
+    return head, bool(dirty)
+
+
+def check_tree(plan_commit: str) -> bool:
+    """Fixed-commit guard (VERDICT r3 next #4): cross-commit it/s numbers
+    are not comparable (different programs, cold caches). Refuse to run
+    any stage when HEAD moved off the plan commit or the tree is dirty."""
+    head, dirty = tree_state()
+    if head != plan_commit:
+        log(f"TREE GUARD: HEAD {head[:9]} != plan commit "
+            f"{plan_commit[:9]} — refusing to measure a different tree")
+        return False
+    if dirty:
+        log("TREE GUARD: working tree is dirty — refusing to measure "
+            "uncommitted state")
+        return False
+    return True
 
 
 def main():
     os.makedirs(STATE_DIR, exist_ok=True)
-    log(f"autopilot start; state in {STATE_DIR}")
+    global PLAN_COMMIT
+    PLAN_COMMIT = (PLAN_COMMIT or os.environ.get("AUTOPILOT_COMMIT")
+                   or tree_state()[0])
+    with open(os.path.join(STATE_DIR, "plan_commit"), "w") as f:
+        f.write(PLAN_COMMIT)
+    log(f"autopilot start; state in {STATE_DIR}; "
+        f"plan commit {PLAN_COMMIT[:9]}")
     for name in STAGE_ORDER:
         if is_done(name):
             log(f"stage {name}: already done, skipping")
             continue
-        if name == "s6_bench_binned":
-            ab = parse_binned_ab(read_log("s5_binned_ab"))
-            if not binned_wins(ab):
-                log(f"stage {name}: binned did not win both J "
-                    f"({json.dumps(ab)}); skipping re-bench")
-                mark_done(name, True)
-                summarize()
-                continue
+        if not check_tree(PLAN_COMMIT):
+            log("autopilot: stopping (tree guard); re-launch on the plan "
+                "commit or start a fresh plan")
+            return
         wait_for_tpu()
         argv, timeout, env_extra = STAGES[name]
         rc = run_stage(name, argv, timeout, env_extra)
