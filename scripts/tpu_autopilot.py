@@ -8,10 +8,11 @@ orchestrator exploits any window automatically:
     imports jax, so it cannot wedge),
   - runs the measurement stages in priority order, each as a
     `timeout`-bounded subprocess,
-  - enforces a FIXED-COMMIT tree guard: the round-3 autopilot's A/B
-    stages were invalidated by measuring across commits on cold caches;
-    now every stage refuses to run unless HEAD equals the plan commit
-    and the tree is clean,
+  - enforces a FIXED-TREE guard: the round-3 autopilot's A/B stages were
+    invalidated by measuring across commits on cold caches; now every
+    stage waits for a clean code tree, and if the program-relevant paths
+    changed since the plan was pinned, the plan re-pins and restarts so
+    every recorded number is same-tree (docs-only commits don't reset it),
   - re-probes the device between stages and goes back to waiting if the
     tunnel wedges mid-plan,
   - persists per-stage state in STATE_DIR so a restart resumes where it
@@ -124,8 +125,8 @@ PY = sys.executable
 
 # Round-4 plan. All it/s stages are valid A/Bs ONLY against the same tree:
 # the round-3 autopilot invalidated stages 8-9 by measuring across commits
-# with cold caches (NOTES r3). PLAN_COMMIT pins the tree; see check_tree().
-PLAN_COMMIT = None  # set via --commit or AUTOPILOT_COMMIT; None = HEAD at start
+# with cold caches (NOTES r3). The code-tree fingerprint pins the tree;
+# see wait_for_clean_tree().
 STAGES = {
     # full bench on the settled tree: train it/s + pallas_check + both
     # eval metrics; also (re)warms the persistent cache for the driver.
@@ -154,48 +155,82 @@ STAGE_ORDER = ["s1_bench", "s2_nocompact", "s3_bf16tab", "s4_attn",
                "s5_train_trace", "s6_eval800", "s7_vae"]
 
 
+# Paths whose content determines the measured programs. NOTES.md / docs /
+# test-only commits do NOT invalidate a measurement plan; changes to these
+# do (different programs, different numbers — not comparable A/Bs).
+CODE_PATHS = ["dreamfusion_tpu", "bench.py", "__graft_entry__.py",
+              "scripts", "csrc"]
+
+
 def tree_state():
-    """(commit, dirty) of the repo the stages would measure."""
-    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
-                          capture_output=True, text=True).stdout.strip()
-    dirty = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
-                           capture_output=True, text=True).stdout.strip()
-    return head, bool(dirty)
+    """(code_fingerprint, dirty) of the repo the stages would measure.
+
+    The fingerprint is the concatenated git object ids of the
+    program-relevant paths at HEAD — the same code tree under a docs-only
+    commit keeps the same fingerprint, so the plan survives NOTES/VERDICT
+    commits (round-3's commit-pinned guard stopped on ANY commit)."""
+    ids = []
+    for p in CODE_PATHS:
+        r = subprocess.run(["git", "rev-parse", f"HEAD:{p}"], cwd=REPO,
+                           capture_output=True, text=True)
+        ids.append(r.stdout.strip() or "absent")
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--"] + CODE_PATHS, cwd=REPO,
+        capture_output=True, text=True).stdout.strip()
+    return "+".join(ids), bool(dirty)
 
 
-def check_tree(plan_commit: str) -> bool:
-    """Fixed-commit guard (VERDICT r3 next #4): cross-commit it/s numbers
-    are not comparable (different programs, cold caches). Refuse to run
-    any stage when HEAD moved off the plan commit or the tree is dirty."""
-    head, dirty = tree_state()
-    if head != plan_commit:
-        log(f"TREE GUARD: HEAD {head[:9]} != plan commit "
-            f"{plan_commit[:9]} — refusing to measure a different tree")
-        return False
-    if dirty:
-        log("TREE GUARD: working tree is dirty — refusing to measure "
-            "uncommitted state")
-        return False
-    return True
+def wait_for_clean_tree(plan_fp: str) -> str:
+    """Tree guard v2 (VERDICT r3 next #4, refined): cross-tree it/s numbers
+    are not comparable, but the round-3 guard STOPPED the whole plan on any
+    commit — wasting scarce tunnel windows. Now: wait while the code tree
+    is dirty (dev in progress); when the clean code fingerprint differs
+    from the plan's, RE-PIN to the new tree and reset every stage (archived
+    as .done.old) so all numbers are same-tree again."""
+    n = 0
+    while True:
+        fp, dirty = tree_state()
+        if not dirty:
+            break
+        n += 1
+        if n == 1 or n % 10 == 0:
+            log("TREE GUARD: code tree dirty — waiting for a commit "
+                "before measuring")
+        time.sleep(60)
+    if fp != plan_fp:
+        log(f"TREE GUARD: code tree changed — re-pinning plan and "
+            f"resetting stages (old results archived as .done.old)")
+        for name in STAGE_ORDER:
+            p = os.path.join(STATE_DIR, f"{name}.done")
+            if os.path.exists(p):
+                os.replace(p, p + ".old")
+            lp = os.path.join(STATE_DIR, f"{name}.log")
+            if os.path.exists(lp):
+                os.replace(lp, lp + ".old")
+        with open(os.path.join(STATE_DIR, "plan_fp"), "w") as f:
+            f.write(fp)
+    return fp
 
 
 def main():
     os.makedirs(STATE_DIR, exist_ok=True)
-    global PLAN_COMMIT
-    PLAN_COMMIT = (PLAN_COMMIT or os.environ.get("AUTOPILOT_COMMIT")
-                   or tree_state()[0])
-    with open(os.path.join(STATE_DIR, "plan_commit"), "w") as f:
-        f.write(PLAN_COMMIT)
+    plan_fp = tree_state()[0]
+    with open(os.path.join(STATE_DIR, "plan_fp"), "w") as f:
+        f.write(plan_fp)
     log(f"autopilot start; state in {STATE_DIR}; "
-        f"plan commit {PLAN_COMMIT[:9]}")
-    for name in STAGE_ORDER:
+        f"plan fingerprint {plan_fp[:9]}…")
+    idx = 0
+    while idx < len(STAGE_ORDER):
+        name = STAGE_ORDER[idx]
         if is_done(name):
             log(f"stage {name}: already done, skipping")
+            idx += 1
             continue
-        if not check_tree(PLAN_COMMIT):
-            log("autopilot: stopping (tree guard); re-launch on the plan "
-                "commit or start a fresh plan")
-            return
+        new_fp = wait_for_clean_tree(plan_fp)
+        if new_fp != plan_fp:
+            plan_fp = new_fp
+            idx = 0          # restart the plan on the new tree
+            continue
         wait_for_tpu()
         argv, timeout, env_extra = STAGES[name]
         rc = run_stage(name, argv, timeout, env_extra)
@@ -208,6 +243,7 @@ def main():
             rc = run_stage(name, argv, timeout, env_extra)
         mark_done(name, rc == 0)
         summarize()
+        idx += 1
     log("autopilot: all stages attempted")
     summarize()
 
