@@ -72,7 +72,8 @@ def _use_pallas_scatter(level_dim: int,
     impl = impl or SCATTER_IMPL
     if impl == "xla":
         return None
-    if impl in ("interpret", "binned", "binned-interpret"):
+    if impl in ("interpret", "binned", "binned-interpret",
+                "binned-t", "binned-t-interpret"):
         return impl
     if impl == "pallas":
         return "pallas"
@@ -81,7 +82,8 @@ def _use_pallas_scatter(level_dim: int,
         # path would corrupt A/B data collected over the scarce tunnel
         # windows — fail loudly instead
         raise ValueError(f"unknown scatter impl {impl!r}; expected one of "
-                         "auto/xla/pallas/interpret/binned/binned-interpret")
+                         "auto/xla/pallas/interpret/binned/binned-interpret/"
+                         "binned-t/binned-t-interpret")
     return "binned" if jax.default_backend() == "tpu" else None
 
 
@@ -144,8 +146,11 @@ def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
         pallas = _use_pallas_scatter(C, scatter_impl)
         if len(corner_offs[0]) * C != 16:
             pallas = None          # wide kernel is 8 corners x C=2 = 16 lanes
-        interp = pallas in ("interpret", "binned-interpret")
-        binned = pallas in ("binned", "binned-interpret")
+        interp = pallas in ("interpret", "binned-interpret",
+                            "binned-t-interpret")
+        binned = pallas in ("binned", "binned-interpret",
+                            "binned-t", "binned-t-interpret")
+        chan_major = pallas in ("binned-t", "binned-t-interpret")
         parts = []
         for lvl in range(L):
             size = sizes[lvl]
@@ -164,6 +169,23 @@ def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
                 # sorted-window kernel: worth it only when the level spans
                 # multiple output windows (small levels keep the unbinned
                 # kernel — their one-hot is already narrow)
+                if chan_major:
+                    # transposed kernel output [8C, size]: the inverse-roll
+                    # fold runs on full-lane [size] vectors, so XLA never
+                    # inserts the table-sized {0,1} relayout copy the
+                    # [size, 16] form forces (NOTES r3: 5.7 ms/step)
+                    d16 = matmul_scatter_add_oct_binned(
+                        base_all[lvl], w_all[lvl].astype(jnp.float32),
+                        cot[:, lvl, :].astype(jnp.float32), size,
+                        interpret=interp, transposed=True)   # [8C, size]
+                    chans = []
+                    for j in range(C):
+                        dj = jnp.zeros((size,), jnp.float32)
+                        for ci, o in enumerate(corner_offs[lvl]):
+                            dj = dj + jnp.roll(d16[ci * C + j], o)
+                        chans.append(dj)
+                    parts.append(jnp.stack(chans, axis=-1))
+                    continue
                 d_oct = matmul_scatter_add_oct_binned(
                     base_all[lvl], w_all[lvl].astype(jnp.float32),
                     cot[:, lvl, :].astype(jnp.float32), size,

@@ -364,6 +364,47 @@ def _unpack_bf16_pair(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return a, b
 
 
+def _scatter_kernel_oct_binned_t(win_ref, chunk_ref, valid_ref,
+                                 crow_ref, fine_ref, w_ref, c_ref, out_ref):
+    """Transposed-output tile: contract chunk chunk_ref[t] against output
+    window win_ref[t] as dot(bT, aT) -> [128, _BIN_WB] where the ROW axis
+    is (fine' * 16 + corner-channel) and the LANE axis is the window's
+    coarse' rows. Motivation (NOTES r3 trace): the flat kernel's [T, 16]
+    output forces a table-sized {0,1} relayout copy (~5.7 ms/step) before
+    the inverse-roll fold, because XLA lays [N, 16] tensors column-major;
+    emitting the transpose directly keeps every downstream fold op in
+    full-lane layouts. Same FLOPs, same one-hot structure, roles swapped."""
+    t = pl.program_id(0)
+    win = win_ref[t]
+    prev = win_ref[jnp.maximum(t - 1, 0)]
+
+    @pl.when((t == 0) | (win != prev))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    live = valid_ref[t] > 0
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _BIN_WB), 1)
+    rows128 = jax.lax.broadcasted_iota(
+        jnp.int32, (_FINE_W * _C_ROW, _SUB), 0)
+    f_of_r = rows128 // _C_ROW
+    c_of_r = rows128 % _C_ROW
+    base = win * _BIN_WB
+    for s in range(8):
+        rel = crow_ref[0, s] - base     # [_SUB]; out-of-window -> no match
+        aT = ((cols == rel[:, None]) & live).astype(jnp.bfloat16)
+        fine = fine_ref[0, s]
+        uvalT = jnp.zeros((_FINE_W * _C_ROW, _SUB), jnp.float32)
+        for c in range(_C_ROW):
+            v = w_ref[0, s, c >> 1] * c_ref[0, s, c & 1]         # [_SUB]
+            uvalT = jnp.where(c_of_r == c, v[None, :], uvalT)
+        bT = jnp.where(fine[None, :] == f_of_r, uvalT,
+                       0.0).astype(jnp.bfloat16)                 # [128, _SUB]
+        acc += jnp.dot(bT, aT, preferred_element_type=jnp.float32)
+
+    out_ref[:] += acc
+
+
 def _scatter_kernel_oct_binned(win_ref, chunk_ref, valid_ref,
                                crow_ref, fine_ref, w_ref, c_ref, out_ref):
     """One tile: contract chunk chunk_ref[t] against output window
@@ -395,10 +436,12 @@ def _scatter_kernel_oct_binned(win_ref, chunk_ref, valid_ref,
     out_ref[:] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("table_size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("table_size", "interpret",
+                                              "transposed"))
 def matmul_scatter_add_oct_binned(local_idx: jax.Array, w8: jax.Array,
                                   cot2: jax.Array, table_size: int,
-                                  interpret: bool = False) -> jax.Array:
+                                  interpret: bool = False,
+                                  transposed: bool = False) -> jax.Array:
     """Same contract as matmul_scatter_add_oct (d = zeros([T, 16]).at[idx]
     .add(outer(w8, cot2))), computed by sorting updates by row and
     contracting each chunk against only the output window it touches.
@@ -406,18 +449,42 @@ def matmul_scatter_add_oct_binned(local_idx: jax.Array, w8: jax.Array,
     Unlike the unbinned kernels, VMEM residency is WINDOW-sized
     ([_BIN_WB, 128] f32 = 128 KiB) rather than table-sized, so there is no
     _WIDE_VMEM_BYTES ceiling: tables beyond 2^19 rows stay on the MXU path
-    when this kernel is selected."""
+    when this kernel is selected.
+
+    transposed=True returns the CHANNEL-MAJOR gradient [16, T] instead of
+    [T, 16] (same values: out_t[c, r] == out[r, c]). The row index is split
+    with fine' in the HIGH bits (row = fine' * Rlow + coarse', Rlow =
+    ceil(T/8)) and updates are sorted by the window-contiguous remap
+    (coarse' * 8 + fine'), so the kernel's transposed [128, window] tiles
+    flatten back to row order with plain reshapes — no cross-lane
+    relayout anywhere. This kills the table-sized {0,1} layout copy XLA
+    inserts between the flat kernel's [T, 16] output and the inverse-roll
+    fold (NOTES r3: 5.7 ms/step at production shapes)."""
     J = local_idx.shape[0]
     n_chunks = -(-J // _CHUNK)
     Jp = n_chunks * _CHUNK
-    R = -(-table_size // _FINE_W)            # coarse rows
-    NW = -(-R // _BIN_WB)                    # output windows
 
-    sentinel = jnp.int32(table_size)         # sorts after every real row
-    key = jnp.where(local_idx < 0, sentinel, local_idx)
+    if transposed:
+        Rlow = -(-table_size // _FINE_W)     # coarse' rows (fine' in MSBs)
+        NW = -(-Rlow // _BIN_WB)
+        # sort by (coarse', fine') so output windows are visited in one
+        # contiguous run each (row-order sorting would revisit every
+        # window once per fine' value)
+        fine_u = jnp.where(local_idx < 0, 0, local_idx // Rlow)
+        coarse_u = jnp.where(local_idx < 0, 0, local_idx % Rlow)
+        remap = coarse_u * _FINE_W + fine_u
+        sentinel = jnp.int32(_FINE_W * Rlow)
+        key = jnp.where(local_idx < 0, sentinel, remap)
+        table_rows = _FINE_W * Rlow          # sentinel bound for validity
+    else:
+        R = -(-table_size // _FINE_W)        # coarse rows
+        NW = -(-R // _BIN_WB)                # output windows
+        sentinel = jnp.int32(table_size)     # sorts after every real row
+        key = jnp.where(local_idx < 0, sentinel, local_idx)
+        table_rows = table_size
     pad = Jp - J
     if pad:
-        key = jnp.pad(key, (0, pad), constant_values=table_size)
+        key = jnp.pad(key, (0, pad), constant_values=table_rows)
         w8 = jnp.pad(w8, ((0, 0), (0, pad)))
         cot2 = jnp.pad(cot2, ((0, pad), (0, 0)))
 
@@ -438,7 +505,9 @@ def matmul_scatter_add_oct_binned(local_idx: jax.Array, w8: jax.Array,
         w8s = jnp.stack(pay[:8], axis=0)                         # [8, Jp]
         c2s = jnp.stack(pay[8:], axis=0)                         # [2, Jp]
 
-    valid = key_s < table_size
+    valid = key_s < table_rows
+    # transposed: sorted key is coarse' * _FINE_W + fine', so the same
+    # div/mod yields (coarse', fine') — identical arithmetic on both paths
     crow = jnp.where(valid, key_s // _FINE_W, -1)
     fine = jnp.where(valid, key_s % _FINE_W, 0)
 
@@ -465,19 +534,51 @@ def matmul_scatter_add_oct_binned(local_idx: jax.Array, w8: jax.Array,
     w4 = w8s.reshape(8, n_chunks, 8, _SUB).transpose(1, 2, 0, 3)
     c4 = c2s.reshape(2, n_chunks, 8, _SUB).transpose(1, 2, 0, 3)
 
+    in_specs = [
+        pl.BlockSpec((1, 8, _SUB), lambda t, w, c, v: (c[t], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, _SUB), lambda t, w, c, v: (c[t], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 8, _SUB), lambda t, w, c, v: (c[t], 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 2, _SUB), lambda t, w, c, v: (c[t], 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = (win_t, chunk_t, valid_t,
+            crow.reshape(n_chunks, 8, _SUB), fine.reshape(n_chunks, 8, _SUB),
+            w4, c4)
+
+    if transposed:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(NT,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((_FINE_W * _C_ROW, _BIN_WB),
+                                   lambda t, w, c, v: (0, w[t]),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            _scatter_kernel_oct_binned_t,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((_FINE_W * _C_ROW, NW * _BIN_WB),
+                                           jnp.float32),
+            interpret=interpret,
+        )(*args)
+        # never-visited windows hold uninitialised memory: mask from counts
+        lanemask = jnp.repeat(nonempty, _BIN_WB)
+        out = jnp.where(lanemask[None, :], out, 0.0)
+        Rlow = -(-table_size // _FINE_W)
+        # rows are fine'-major (row = fine' * 16 + cc): split, move cc out,
+        # and flatten (fine', coarse') back to the row index — all reshapes
+        # on the minor axes, no cross-lane relayout
+        out = out[:, :Rlow].reshape(_FINE_W, _C_ROW, Rlow)
+        return out.transpose(1, 0, 2).reshape(
+            _C_ROW, _FINE_W * Rlow)[:, :table_size]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(NT,),
-        in_specs=[
-            pl.BlockSpec((1, 8, _SUB), lambda t, w, c, v: (c[t], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, _SUB), lambda t, w, c, v: (c[t], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 8, _SUB), lambda t, w, c, v: (c[t], 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 2, _SUB), lambda t, w, c, v: (c[t], 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((_BIN_WB, _FINE_W * _C_ROW),
                                lambda t, w, c, v: (w[t], 0),
                                memory_space=pltpu.VMEM),
@@ -488,9 +589,7 @@ def matmul_scatter_add_oct_binned(local_idx: jax.Array, w8: jax.Array,
         out_shape=jax.ShapeDtypeStruct((NW * _BIN_WB, _FINE_W * _C_ROW),
                                        jnp.float32),
         interpret=interpret,
-    )(win_t, chunk_t, valid_t,
-      crow.reshape(n_chunks, 8, _SUB), fine.reshape(n_chunks, 8, _SUB),
-      w4, c4)
+    )(*args)
 
     # never-visited windows hold uninitialised memory: mask from counts
     rowmask = jnp.repeat(nonempty, _BIN_WB)

@@ -50,12 +50,13 @@ def test_lower_oct(version, oct_args):
         i, w, c, T, version=version), *oct_args)
 
 
-def test_lower_oct_binned(oct_args):
+@pytest.mark.parametrize("transposed", [False, True])
+def test_lower_oct_binned(oct_args, transposed):
     from dreamfusion_tpu.ops.pallas_scatter import \
         matmul_scatter_add_oct_binned
 
-    _lower_tpu(lambda i, w, c: matmul_scatter_add_oct_binned(i, w, c, T),
-               *oct_args)
+    _lower_tpu(lambda i, w, c: matmul_scatter_add_oct_binned(
+        i, w, c, T, transposed=transposed), *oct_args)
 
 
 @pytest.mark.parametrize("version", [1, 2])

@@ -184,15 +184,18 @@ def test_oct_v2_factorized_matches_oracle_and_v1(J, T):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("transposed", [False, True])
 @pytest.mark.parametrize("J,T", [
     (5000, 65536), (3000, 4096),
     pytest.param(2048, 728, marks=pytest.mark.slow),
     pytest.param(300, 65536, marks=pytest.mark.slow)])
-def test_oct_binned_matches_oracle(J, T):
+def test_oct_binned_matches_oracle(J, T, transposed):
     """The binned (sorted-window) oct kernel must agree with the XLA
     oracle, including duplicate indices, padded tails (J not a multiple of
     the chunk size), tables smaller than one window, and tables whose row
-    count is not a multiple of the window height."""
+    count is not a multiple of the window height. The transposed variant
+    (channel-major [16, T] output, fine'-in-MSBs row split) must return
+    exactly the flat variant's values transposed."""
     from dreamfusion_tpu.ops.pallas_scatter import (
         matmul_scatter_add_oct, matmul_scatter_add_oct_binned)
 
@@ -201,7 +204,11 @@ def test_oct_binned_matches_oracle(J, T):
     w8 = jnp.asarray(rng.randn(8, J).astype(np.float32))
     cot2 = jnp.asarray(rng.randn(J, 2).astype(np.float32))
 
-    got = matmul_scatter_add_oct_binned(idx, w8, cot2, T, interpret=True)
+    got = matmul_scatter_add_oct_binned(idx, w8, cot2, T, interpret=True,
+                                        transposed=transposed)
+    if transposed:
+        assert got.shape == (16, T)
+        got = got.T
     v2 = matmul_scatter_add_oct(idx, w8, cot2, T, interpret=True)
     upd = (np.asarray(w8).T[:, :, None] * np.asarray(cot2)[:, None, :]
            ).reshape(J, 16)
@@ -217,7 +224,8 @@ def test_oct_binned_matches_oracle(J, T):
                                np.asarray(v2) / scale, atol=1.2e-2)
 
 
-def test_oct_binned_skew_and_empty_windows():
+@pytest.mark.parametrize("transposed", [False, True])
+def test_oct_binned_skew_and_empty_windows(transposed):
     """All updates in ONE window (every other window untouched): unvisited
     output blocks must come back zero, not garbage; and a fully dense
     single-row pileup must accumulate exactly."""
@@ -230,19 +238,26 @@ def test_oct_binned_skew_and_empty_windows():
                        ).astype(np.int32))
     w8 = jnp.ones((8, J), jnp.float32)
     cot2 = jnp.ones((J, 2), jnp.float32)
-    got = matmul_scatter_add_oct_binned(idx, w8, cot2, T, interpret=True)
+    got = matmul_scatter_add_oct_binned(idx, w8, cot2, T, interpret=True,
+                                        transposed=transposed)
+    if transposed:
+        got = got.T
     want = np.zeros((T, 16), np.float32)
     np.add.at(want, np.asarray(idx), np.ones((J, 16), np.float32))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-2, atol=1e-3)
     # rows outside the hot window are exactly zero (mask of unvisited
-    # windows + no stray updates)
+    # windows + no stray updates). NOTE: under the transposed row split the
+    # flat-row prefix is not one contiguous window, but every row outside
+    # [768*8, 1024*8) is still un-scattered and must be zero.
     assert float(np.abs(np.asarray(got[: 768 * 8])).max()) == 0.0
+    assert float(np.abs(np.asarray(got[1024 * 8:])).max()) == 0.0
 
 
 @pytest.mark.slow
-def test_oct_binned_in_encoder_bwd():
-    """grid_encoder backward with scatter_impl='binned-interpret' matches
-    the XLA oracle path end-to-end."""
+@pytest.mark.parametrize("impl", ["binned-interpret", "binned-t-interpret"])
+def test_oct_binned_in_encoder_bwd(impl):
+    """grid_encoder backward with the binned scatter impls (flat and
+    transposed/channel-major) matches the XLA oracle path end-to-end."""
     # gridtype="tiled" (the production grid backbone, networks.py): every
     # level is affine so the OCT path runs; log2_hashmap_size=13 puts the
     # largest level (8192 rows) past the binned-routing threshold while
@@ -256,7 +271,7 @@ def test_oct_binned_in_encoder_bwd():
     spec_b = GridEncoderSpec(input_dim=3, num_levels=4, level_dim=2,
                              base_resolution=8, per_level_scale=1.5,
                              log2_hashmap_size=13, gridtype="tiled",
-                             scatter_impl="binned-interpret")
+                             scatter_impl=impl)
     table = spec_x.init(jax.random.PRNGKey(0))
     x = jnp.asarray(np.random.RandomState(1).uniform(-0.9, 0.9, (64, 3)),
                     jnp.float32)
