@@ -328,6 +328,19 @@ PROBE_IMPL = os.environ.get("DFTPU_PROBE_IMPL", "row")
 if PROBE_IMPL not in _PROBE_IMPLS:   # typo'd env must not silently re-measure
     raise ValueError(f"DFTPU_PROBE_IMPL={PROBE_IMPL!r}; valid {_PROBE_IMPLS}")
 
+# Density-EMA probe element type (probe_density, the staged-eval fine march):
+# each row-take fetches a full 128-lane row per probe, so bf16 halves the
+# gather's HBM bytes. The estimate feeds an occupancy compare and a
+# transmittance-live estimate with a 3x log-space margin — bf16's ~3
+# significant digits are ample there — but borderline emit flips make
+# staged-vs-direct equality tests tolerance-sensitive, so f32 stays the
+# default until the eval A/B (autopilot) says otherwise.
+_PROBE_DTYPES = ("f32", "bf16")
+PROBE_DENSITY_DTYPE = os.environ.get("DFTPU_PROBE_DTYPE", "f32")
+if PROBE_DENSITY_DTYPE not in _PROBE_DTYPES:
+    raise ValueError(f"DFTPU_PROBE_DTYPE={PROBE_DENSITY_DTYPE!r}; "
+                     f"valid {_PROBE_DTYPES}")
+
 
 def _row_take(tab: jax.Array, flat_idx: jax.Array) -> jax.Array:
     """Element gather tab[flat_idx] as a [T/128, 128] row gather + one-hot
@@ -400,6 +413,10 @@ def probe_density(density_grid: jax.Array, rays_o: jax.Array,
     occupancy the march used."""
     H = density_grid.shape[1]
     grid_flat = density_grid[0].reshape(-1)
+    if PROBE_DENSITY_DTYPE == "bf16":
+        # one full-grid cast per dispatch (~8 MB read at 128^3, trivial)
+        # halves the bytes of every row fetched by the per-probe gather
+        grid_flat = grid_flat.astype(jnp.bfloat16)
     idx_axes = []
     for d in range(3):
         x_d = jnp.clip(rays_o[:, d:d + 1] + ts * rays_d[:, d:d + 1],
@@ -408,8 +425,8 @@ def probe_density(density_grid: jax.Array, rays_o: jax.Array,
         idx_axes.append(n_d.astype(jnp.int32))
     flat_idx = (idx_axes[0] * H + idx_axes[1]) * H + idx_axes[2]
     if PROBE_IMPL == "row" and grid_flat.shape[0] % 128 == 0:
-        return _row_take(grid_flat, flat_idx)
-    return jnp.take(grid_flat, flat_idx, axis=0)
+        return _row_take(grid_flat, flat_idx).astype(jnp.float32)
+    return jnp.take(grid_flat, flat_idx, axis=0).astype(jnp.float32)
 
 
 def pool_occ(occ: jax.Array, factor: int) -> jax.Array:

@@ -512,6 +512,33 @@ def test_probe_impl_variants_agree():
             np.testing.assert_allclose(dens["row"], dens["pred"], rtol=1e-6)
 
 
+def test_probe_density_bf16_close_to_f32():
+    """DFTPU_PROBE_DTYPE=bf16 halves the probe row-fetch bytes; the values
+    must match f32 to bf16 rounding (~2^-8 relative) — ample for the
+    occupancy compare and the 3x-margin transmittance-live estimate that
+    consume them. f32 stays the default (module constant) so the
+    staged==direct equality oracles stay exact."""
+    from dreamfusion_tpu.ops import marching
+
+    Hg = 32
+    o = jax.random.uniform(jax.random.PRNGKey(1), (5, 3)) * 2.0 - 1.0
+    d = jax.random.normal(jax.random.PRNGKey(2), (5, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ts = jnp.linspace(0.05, 1.9, 40)[None, :].repeat(5, axis=0)
+    dgrid = jax.random.uniform(jax.random.PRNGKey(3), (1, Hg, Hg, Hg))
+
+    assert marching.PROBE_DENSITY_DTYPE == "f32"  # default pin
+    f32 = np.asarray(marching.probe_density(dgrid, o, d, ts, 1.0))
+    try:
+        marching.PROBE_DENSITY_DTYPE = "bf16"
+        b16 = np.asarray(marching.probe_density(dgrid, o, d, ts, 1.0))
+    finally:
+        marching.PROBE_DENSITY_DTYPE = "f32"
+    assert b16.dtype == np.float32          # upcast after the gather
+    np.testing.assert_allclose(b16, f32, rtol=1e-2, atol=1e-3)
+    assert float(np.abs(b16 - f32).max()) > 0.0 or float(f32.max()) == 0.0
+
+
 def test_windowed_march_equals_full_march():
     """march_rays_window with the coarse_hit_window bracket and a
     sufficient lattice-length bucket reproduces the full uniform march
