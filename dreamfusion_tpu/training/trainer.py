@@ -431,7 +431,7 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         counts_s = take(counts)
         gmax = counts_s.reshape(-1, group).max(axis=1)
         gspan = jnp.take(span_steps, perm).reshape(-1, group).max(axis=1)
-        return (perm, take(o), take(d), take(t_lo),
+        return (perm, take(o), take(d), take(t_lo), take(t_hi),
                 jnp.stack([gmax.astype(jnp.float32), gspan], axis=1))
 
     # optical-depth budget for the live estimate: -ln(1e-4) with a 3x
@@ -439,22 +439,32 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
     # not a cell max)
     _LIVE_LOGT = 3.0 * 9.2103
 
+    # short-window march policy: N > 0 marches every flagged group at an
+    # N-point window first and falls back to the full ladder bucket only
+    # when a group provably needs it (see the policy note at the march
+    # queue below). Off by default until the eval A/B (autopilot s10)
+    # flips it by data.
+    short_S = int(os.environ.get("DFTPU_EVAL_SHORT", "0"))
+
     march_cache: Dict[int, Any] = {}
 
     def get_march(S: int):
         """Windowed march at lattice length S + bucket drivers (exact
         counts and the transmittance-live estimate), one compiled program
-        per ladder length."""
+        per ladder length. The 4th stats slot reports whether any ray's
+        emit bracket extends past this window WITHOUT the window already
+        saturating its transmittance budget — the short-window fallback
+        trigger (see the DFTPU_EVAL_SHORT policy in render_frame)."""
         if S not in march_cache:
             @jax.jit
             def march_group(occ, density_grid, mean_density,
-                            o_s, d_s, tlo_s, start):
+                            o_s, d_s, tlo_s, thi_s, start):
                 # slice the group INSIDE the program: an eager
                 # dynamic_slice costs a tunnel dispatch per operand per
                 # group (~10-30 ms issue latency each)
                 sl = lambda x: jax.lax.dynamic_slice_in_dim(
                     x, start, group, 0)
-                o, d, t_lo = sl(o_s), sl(d_s), sl(tlo_s)
+                o, d, t_lo, t_hi = sl(o_s), sl(d_s), sl(tlo_s), sl(thi_s)
                 nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
                 thresh = jnp.minimum(mean_density, cfg.density_thresh)
                 m, sig_est = march_rays_window(
@@ -465,9 +475,11 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                 if sig_est is None:      # multi-cascade: the mip-aware
                     glive = gcount       # sigma probe isn't built; shade
                     ltot = jnp.float32(-1.0)   # dense-bucket shade
+                    gneed = jnp.float32(0.0)
                 else:                    # at the exact count bucket
                     depth_ex = jnp.cumsum(
                         jnp.maximum(sig_est, 0.0) * m.dts * m.valid, axis=1)
+                    dtot = depth_ex[:, -1]
                     depth_ex = jnp.concatenate(
                         [jnp.zeros((o.shape[0], 1)), depth_ex[:, :-1]],
                         axis=1)
@@ -482,9 +494,23 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                                  counts=live_counts)
                     glive = jnp.max(live_counts)
                     ltot = jnp.sum(live_counts).astype(jnp.float32)
+                    # short-window soundness: a ray may have emits past
+                    # this window (bracket end beyond the last lattice
+                    # point) — fine iff the window already saturated the
+                    # ray's live budget (the tail would be masked anyway)
+                    # the first UNPROBED lattice point is exactly t_end;
+                    # bracket emits are at points <= t_hi (both are
+                    # nears + integer*dt, so exact collisions are common):
+                    # the unprobed-emit-may-exist test must be <=, not <
+                    dt = 2.0 * SQRT3 / cfg.max_steps
+                    k0 = jnp.floor((t_lo - nears) / dt)
+                    t_end = nears + (k0 + S) * dt
+                    gneed = jnp.max(
+                        ((t_end <= t_hi) & (t_end < fars)
+                         & (dtot < _LIVE_LOGT)).astype(jnp.float32))
                 return m, o, d, nears, fars, jnp.stack(
                     [glive.astype(jnp.float32), gcount.astype(jnp.float32),
-                     ltot])
+                     ltot, gneed])
 
             march_cache[S] = march_group
         return march_cache[S]
@@ -555,19 +581,21 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             # full-length program; shorter ones compile on demand and land
             # in the persistent cache.
             warm_S = ([S_ladder[-1]] if cfg.eval_warm_buckets
-                      else S_ladder)
+                      else list(S_ladder))
+            if short_S and cfg.cascade == 1:
+                warm_S = sorted(set(warm_S + [min(short_S, S_ladder[-1])]))
             zNp = jnp.zeros((Np, 3))
             for S in warm_S:
                 get_march(S)(grid_state.occ, grid_state.density_grid,
                              grid_state.mean_density, zNp,
                              jnp.ones((Np, 3)) / 3 ** 0.5,
-                             jnp.zeros((Np,)), 0)
+                             jnp.zeros((Np,)), jnp.zeros((Np,)), 0)
 
         # 1. one-dispatch coarse classify + sort (bg rays first); ONE
         # transfer brings every group's pooled-probe max count + emit-
         # window span (in lattice steps)
-        perm, o_s, d_s, tlo_s, gstats = count_sort(grid_state.occ, rays_o,
-                                                   rays_d)
+        perm, o_s, d_s, tlo_s, thi_s, gstats = count_sort(
+            grid_state.occ, rays_o, rays_d)
         gstats_host = np.asarray(gstats)           # [n_groups, (max, span)]
 
         # 2. background for the whole frame in one dispatch (cheap: bg net
@@ -579,26 +607,53 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         # 3. queue the march for EVERY flagged group (at the lattice-length
         # bucket its emit window dictates), then fetch all shade-bucket
         # drivers (exact counts + transmittance-live estimates) in one
-        # stacked transfer — no per-group sync
+        # stacked transfer — no per-group sync.
+        # Short-window policy (DFTPU_EVAL_SHORT=N): march at the N-point
+        # window first — on an opaque trained scene the live prefix
+        # saturates within a few tens of samples of the bracket start, so
+        # most groups never pay the full ladder window. Groups whose 4th
+        # stat flags an unsaturated ray with emits past the short window
+        # are re-marched at the full bucket (exactness: the shaded live
+        # prefix is identical to the full march's, because the live mask
+        # truncates at the same 3x budget either way).
         marched = []
         for seg, g in enumerate(reversed(range(gstats_host.shape[0]))):
             if gstats_host[g, 0] == 0.0:
                 break                              # sorted: the rest is bg
             start = Np - (seg + 1) * group         # static size, traced start
             span = float(gstats_host[g, 1])
-            S = next((s for s in S_ladder if s >= span), S_ladder[-1])
-            m, o_g, d_g, nears_g, fars_g, stats = get_march(S)(
+            S_full = next((s for s in S_ladder if s >= span), S_ladder[-1])
+            S_m = (min(short_S, S_full) if short_S and cfg.cascade == 1
+                   else S_full)
+            m, o_g, d_g, nears_g, fars_g, stats = get_march(S_m)(
                 grid_state.occ, grid_state.density_grid,
-                grid_state.mean_density, o_s, d_s, tlo_s, start)
-            marched.append((start, o_g, d_g, m, nears_g, fars_g, stats))
+                grid_state.mean_density, o_s, d_s, tlo_s, thi_s, start)
+            marched.append([start, o_g, d_g, m, nears_g, fars_g, stats,
+                            S_m, S_full])
 
         if marched:
-            stats_host = np.asarray(jnp.stack([t[6] for t in marched]))
+            # np.array (copy): the redo loop writes refreshed group stats
+            # back in place, and np.asarray of a jax array is read-only
+            stats_host = np.array(jnp.stack([t[6] for t in marched]))
+            redo = [i for i, t in enumerate(marched)
+                    if t[7] < t[8] and stats_host[i, 3] > 0.0]
+            if redo:
+                for i in redo:
+                    start = marched[i][0]
+                    m2, o2, d2, ne2, fa2, st2 = get_march(marched[i][8])(
+                        grid_state.occ, grid_state.density_grid,
+                        grid_state.mean_density, o_s, d_s, tlo_s, thi_s,
+                        start)
+                    marched[i][1:7] = [o2, d2, m2, ne2, fa2, st2]
+                stats2 = np.asarray(jnp.stack([marched[i][6]
+                                               for i in redo]))
+                for j, i in enumerate(redo):
+                    stats_host[i] = stats2[j]
             # 4. shade each flagged group at its live bucket (exact march
             # counts capped by the transmittance-live estimate), pasting
             # into the frame buffers inside the same dispatch
-            for (start, o_g, d_g, m, nears_g, fars_g, _), \
-                    (glive, gcount, ltot) in zip(marched, stats_host):
+            for (start, o_g, d_g, m, nears_g, fars_g, *_), \
+                    (glive, gcount, ltot, _need) in zip(marched, stats_host):
                 if gcount == 0.0:
                     continue                       # coarse flag, truly empty
                 if ltot >= 0.0:

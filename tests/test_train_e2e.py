@@ -229,11 +229,19 @@ def test_trainer_data_parallel_with_interpret_pallas_scatter(tmp_path, impl):
 
 
 @pytest.mark.slow
-def test_staged_eval_matches_direct_render_grid(tmp_path):
+@pytest.mark.parametrize("short", ["0", "16"])
+def test_staged_eval_matches_direct_render_grid(tmp_path, short,
+                                                monkeypatch):
     """The sorted bucketed-K staged eval (make_staged_grid_eval) must equal
     a direct full-K render_grid of the same frame — including pure
-    background groups that skip the field query."""
+    background groups that skip the field query. short='16' additionally
+    exercises the DFTPU_EVAL_SHORT short-window march + its unsaturated-
+    group fallback re-march (the random foggy field never saturates, so
+    most flagged groups take the redo path — exactness must hold through
+    it)."""
     import numpy as np
+
+    monkeypatch.setenv("DFTPU_EVAL_SHORT", short)
 
     from dreamfusion_tpu import cameras
     from dreamfusion_tpu.models import build_model
