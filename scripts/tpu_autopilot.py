@@ -150,9 +150,30 @@ STAGES = {
                    1800, None),
     # VAE encode re-diagnosis (57.5 ms fwd+bwd @512^2, 27% MXU).
     "s7_vae": ([PY, "scripts/mb_sd_vae.py"], 1200, None),
+    # transposed-output binned scatter (kills the table-sized {0,1}
+    # relayout copy between kernel and fold, NOTES r3: 5.7 ms/step).
+    "s8_scatter_t": ([PY, "bench.py", "--skip_eval", "--deadline", "1500"],
+                     1700, {"DFTPU_SCATTER_IMPL": "binned-t"}),
+    # bf16 density-probe A/B for the staged eval's fine march (halves the
+    # bytes of every probe row-fetch; compare fps vs s6_eval800).
+    "s9_eval_bf16p": ([PY, "scripts/profile_eval.py", "--ball", "--H", "800",
+                       "--out", os.path.join(STATE_DIR, "trace_eval800_bf16p")],
+                      1800, {"DFTPU_PROBE_DTYPE": "bf16"}),
+    # short-window march A/B (saturation-bounded: opaque scenes march ~64
+    # lattice points instead of the full span bucket; exactness preserved
+    # by the live-mask semantics + per-group fallback).
+    "s10_eval_short": ([PY, "scripts/profile_eval.py", "--ball", "--H",
+                        "800", "--out",
+                        os.path.join(STATE_DIR, "trace_eval800_short")],
+                       1800, {"DFTPU_EVAL_SHORT": "64",
+                              "DFTPU_PROBE_DTYPE": "bf16"}),
 }
-STAGE_ORDER = ["s1_bench", "s2_nocompact", "s3_bf16tab", "s4_attn",
-               "s5_train_trace", "s6_eval800", "s7_vae"]
+# decision-critical first: the record run + compaction A/B, then the three
+# eval A/Bs (baseline, bf16 probe, short march), then the scatter-t A/B and
+# the VAE diagnosis; the remaining train A/Bs and the train trace last.
+STAGE_ORDER = ["s1_bench", "s2_nocompact", "s6_eval800", "s9_eval_bf16p",
+               "s10_eval_short", "s8_scatter_t", "s7_vae", "s3_bf16tab",
+               "s4_attn", "s5_train_trace"]
 
 
 # Paths whose content determines the measured programs. NOTES.md / docs /
