@@ -143,6 +143,14 @@ def pallas_check():
             np.asarray(got_b) / scale_o, np.asarray(oracle_o) / scale_o,
             atol=2e-2))
 
+        # transposed-output binned kernel (channel-major [16, T])
+        got_t = matmul_scatter_add_oct_binned(idx, w8, cot2, T,
+                                              interpret=interp,
+                                              transposed=True)
+        scatter_ok = scatter_ok and bool(np.allclose(
+            np.asarray(got_t.T) / scale_o, np.asarray(oracle_o) / scale_o,
+            atol=2e-2))
+
         # flash-attention path of the SD attention core (compiled kernels
         # only exist on TPU; the stock op has no interpret mode)
         attn_ok = True
