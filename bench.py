@@ -90,6 +90,12 @@ def enable_compile_cache(path):
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         try:
+            # cache misses are the #1 budget killer over the tunnel: log WHY
+            # each one missed (stderr -> the autopilot stage log)
+            jax.config.update("jax_explain_cache_misses", True)
+        except Exception:
+            pass
+        try:
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         except Exception:
             pass
@@ -241,6 +247,11 @@ def main():
 
 def _run(args, remaining):
     enable_compile_cache(args.cache_dir)
+    # full-size random SD init is ~10 min of per-layer eager dispatches over
+    # the tunnel, paid by EVERY bench process; persist the initialized
+    # pytree once and bulk-load it in later runs (identical values)
+    os.environ.setdefault("DFTPU_SD_INIT_CACHE", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".sd_init_cache"))
 
     from dreamfusion_tpu.config import Config
     from dreamfusion_tpu.training.trainer import Trainer

@@ -20,10 +20,12 @@ Pipeline per step (nerf/sd.py:74-118):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dreamfusion_tpu.guidance import Guidance
 from dreamfusion_tpu.guidance.sd.scheduler import (DiffusionSchedule,
@@ -34,6 +36,48 @@ from dreamfusion_tpu.guidance.sd.vae import (AutoencoderKL, nano_vae,
                                              sd15_vae, tiny_vae)
 
 LATENT_SCALE = 0.18215  # nerf/sd.py:162
+
+
+def _init_cache_path(mode) -> "str | None":
+    d = os.environ.get("DFTPU_SD_INIT_CACHE")
+    if not d:
+        return None
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"sd_init_{mode}.msgpack")
+
+
+def _load_init_cache(mode):
+    path = _init_cache_path(mode)
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        # one bulk host->device transfer per leaf (numpy leaves would
+        # otherwise re-transfer on every apply)
+        return jax.tree.map(jnp.asarray, raw)
+    except Exception as e:  # corrupt/stale cache: fall back to real init
+        print(f"# sd init cache load failed ({e}); re-initializing",
+              flush=True)
+        return None
+
+
+def _save_init_cache(mode, params):
+    path = _init_cache_path(mode)
+    if not path:
+        return
+    try:
+        from flax import serialization
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                jax.tree.map(np.asarray, params)))
+        os.replace(tmp, path)
+    except Exception as e:
+        print(f"# sd init cache save failed ({e})", flush=True)
 
 
 def sds_loss(unet: UNet2DCondition, vae: AutoencoderKL,
@@ -110,11 +154,19 @@ def build_sd_guidance(weights: Optional[str] = None,
         # eager init, deliberately: jitting the init compiles one huge
         # program (measured 4.5+ min of XLA CPU compile for the tiny UNet)
         # while eager dispatch of the layer ops takes ~1 min and caches
-        # across tests
-        params = {
-            "unet": unet.init(k1, lat, jnp.zeros((1,), jnp.int32), ctx),
-            "vae": vae.init(k2, img, k2),
-        }
+        # across tests. For the FULL-size random models over the axon
+        # tunnel the eager init is ~10+ min of per-layer dispatches — a
+        # fixed tax every bench process pays — so DFTPU_SD_INIT_CACHE=<dir>
+        # persists the initialized pytree to disk once and later processes
+        # load it (identical values, one bulk transfer instead of
+        # thousands of dispatches).
+        params = _load_init_cache(weights)
+        if params is None:
+            params = {
+                "unet": unet.init(k1, lat, jnp.zeros((1,), jnp.int32), ctx),
+                "vae": vae.init(k2, img, k2),
+            }
+            _save_init_cache(weights, params)
         text_encode = None
 
     def get_text_embeds(prompts, negatives):

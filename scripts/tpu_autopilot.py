@@ -86,6 +86,9 @@ def read_log(name: str) -> str:
     return open(path).read() if os.path.exists(path) else ""
 
 
+MAX_ATTEMPTS = 3
+
+
 def mark_done(name: str, ok: bool):
     with open(os.path.join(STATE_DIR, f"{name}.done"), "w") as f:
         f.write("ok" if ok else "failed")
@@ -93,6 +96,18 @@ def mark_done(name: str, ok: bool):
 
 def is_done(name: str) -> bool:
     return os.path.exists(os.path.join(STATE_DIR, f"{name}.done"))
+
+
+def attempts(name: str) -> int:
+    p = os.path.join(STATE_DIR, f"{name}.attempts")
+    return int(open(p).read()) if os.path.exists(p) else 0
+
+
+def bump_attempts(name: str) -> int:
+    n = attempts(name) + 1
+    with open(os.path.join(STATE_DIR, f"{name}.attempts"), "w") as f:
+        f.write(str(n))
+    return n
 
 
 def last_json_line(text: str):
@@ -228,6 +243,9 @@ def wait_for_clean_tree(plan_fp: str) -> str:
             lp = os.path.join(STATE_DIR, f"{name}.log")
             if os.path.exists(lp):
                 os.replace(lp, lp + ".old")
+            ap = os.path.join(STATE_DIR, f"{name}.attempts")
+            if os.path.exists(ap):
+                os.remove(ap)
         with open(os.path.join(STATE_DIR, "plan_fp"), "w") as f:
             f.write(fp)
     return fp
@@ -255,13 +273,24 @@ def main():
         wait_for_tpu()
         argv, timeout, env_extra = STAGES[name]
         rc = run_stage(name, argv, timeout, env_extra)
-        # a stage that died may have wedged the tunnel rather than failed:
-        # re-probe; if the device is gone, leave the stage pending and wait.
-        if rc != 0 and not probe_tpu():
-            log(f"stage {name}: rc={rc} AND tunnel wedged — one retry "
-                "after recovery")
-            wait_for_tpu()
-            rc = run_stage(name, argv, timeout, env_extra)
+        if rc != 0:
+            # transient infra failures are the COMMON case here (the
+            # remote-compile leg drops connections independently of the
+            # device leg, NOTES r3/r4a) — a failed stage must RETRY, not
+            # be skipped for the rest of the plan. Cap attempts so a
+            # deterministic stage bug can't loop the plan forever.
+            n = bump_attempts(name)
+            if not probe_tpu():
+                log(f"stage {name}: rc={rc} AND tunnel wedged — waiting "
+                    "for recovery before the retry")
+                wait_for_tpu()
+            if n < MAX_ATTEMPTS:
+                log(f"stage {name}: rc={rc}, attempt {n}/{MAX_ATTEMPTS} — "
+                    "retrying")
+                time.sleep(60)   # let a flapping endpoint settle
+                continue
+            log(f"stage {name}: rc={rc} after {n} attempts — marking "
+                "failed and moving on")
         mark_done(name, rc == 0)
         summarize()
         idx += 1

@@ -297,3 +297,27 @@ def test_tpu_group_norm_matches_flax():
         # param tree is nn.GroupNorm-compatible (converter parity)
         init = TPUGroupNorm(g, epsilon=1e-6).init(k, x)
         assert set(init["params"].keys()) == {"scale", "bias"}
+
+
+def test_sd_init_cache_roundtrip(tmp_path, monkeypatch):
+    """DFTPU_SD_INIT_CACHE persists the initialized random pytree; a second
+    build loads IDENTICAL values (the bench warm-start path — full-size
+    eager init is ~10 min of per-layer dispatches over the tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dreamfusion_tpu.guidance.sd.sds import build_sd_guidance
+
+    monkeypatch.setenv("DFTPU_SD_INIT_CACHE", str(tmp_path))
+    g1 = build_sd_guidance("random-nano")
+    assert (tmp_path / "sd_init_random-nano.msgpack").exists()
+    g2 = build_sd_guidance("random-nano")
+    eq = jax.tree.map(lambda a, b: bool(jnp.all(a == b)), g1.params,
+                      g2.params)
+    assert all(jax.tree.leaves(eq))
+    # loaded params drive the loss exactly like fresh ones
+    tz = g2.get_text_embeds(["a cat"], [""])
+    img = jnp.ones((1, 64, 64, 3)) * 0.5
+    l1 = g1.loss(g1.params, tz, img, jax.random.PRNGKey(0))
+    l2 = g2.loss(g2.params, tz, img, jax.random.PRNGKey(0))
+    assert float(l1) == float(l2)
