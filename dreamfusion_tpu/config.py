@@ -82,6 +82,12 @@ class Config:
     # +-bound. The reference's aabb_infer sliders (nerf/gui.py:319-345)
     # mutate only the inference AABB, never the train one.
     aabb_infer: Optional[Tuple[float, ...]] = None
+    # staged-eval short-window march: N > 0 marches flagged groups at an
+    # N-lattice-point window first, re-marching only groups an unsaturated
+    # ray provably needs at the full span bucket (exact; the shaded live
+    # prefix is identical — see make_staged_grid_eval). 0 = off.
+    # DFTPU_EVAL_SHORT overrides for on-device A/B runs.
+    eval_short_march: int = 0
     grid_decay: float = 0.95            # occupancy EMA decay (renderer.py:563)
     # -- model ---------------------------------------------------------------
     backbone: str = "grid"              # 'grid' | 'vanilla' | 'dvgo'
@@ -218,6 +224,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    action="store_false", default=defaults.grid_compact)
     p.add_argument("--grid_compact_slack", type=float,
                    default=defaults.grid_compact_slack)
+    p.add_argument("--eval_short_march", type=int,
+                   default=defaults.eval_short_march)
     p.add_argument("--grid_decay", type=float, default=defaults.grid_decay)
     p.add_argument("--test_size", type=int, default=defaults.test_size)
     p.add_argument("--val_size", type=int, default=defaults.val_size)

@@ -442,9 +442,10 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
     # short-window march policy: N > 0 marches every flagged group at an
     # N-point window first and falls back to the full ladder bucket only
     # when a group provably needs it (see the policy note at the march
-    # queue below). Off by default until the eval A/B (autopilot s10)
-    # flips it by data.
-    short_S = int(os.environ.get("DFTPU_EVAL_SHORT", "0"))
+    # queue below). cfg.eval_short_march sets the default; DFTPU_EVAL_SHORT
+    # overrides it for on-device A/B runs.
+    short_S = int(os.environ.get("DFTPU_EVAL_SHORT",
+                                 str(getattr(cfg, "eval_short_march", 0))))
 
     march_cache: Dict[int, Any] = {}
 
