@@ -252,6 +252,17 @@ def _run(args, remaining):
     # pytree once and bulk-load it in later runs (identical values)
     os.environ.setdefault("DFTPU_SD_INIT_CACHE", os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".sd_init_cache"))
+    # expose a LOCAL cpu backend next to the tunnel device so the SD init
+    # runs at numpy speed with no tunnel round-trips (sds.py initializes
+    # under jax.default_device(cpu) and bulk-transfers once). Guarded so
+    # the in-process CI smoke (conftest pins jax_platforms=cpu) is not
+    # flipped back onto the tunnel.
+    try:
+        if (os.environ.get("JAX_PLATFORMS", "") == "axon"
+                and jax.config.jax_platforms != "cpu"):
+            jax.config.update("jax_platforms", "axon,cpu")
+    except Exception:
+        pass
 
     from dreamfusion_tpu.config import Config
     from dreamfusion_tpu.training.trainer import Trainer

@@ -38,6 +38,13 @@ from dreamfusion_tpu.guidance.sd.vae import (AutoencoderKL, nano_vae,
 LATENT_SCALE = 0.18215  # nerf/sd.py:162
 
 
+def _maybe_cpu_device():
+    try:
+        return jax.devices("cpu")[0]
+    except Exception:
+        return None
+
+
 def _init_cache_path(mode) -> "str | None":
     d = os.environ.get("DFTPU_SD_INIT_CACHE")
     if not d:
@@ -162,11 +169,31 @@ def build_sd_guidance(weights: Optional[str] = None,
         # thousands of dispatches).
         params = _load_init_cache(weights)
         if params is None:
-            params = {
-                "unet": unet.init(k1, lat, jnp.zeros((1,), jnp.int32), ctx),
-                "vae": vae.init(k2, img, k2),
-            }
-            _save_init_cache(weights, params)
+            # init on the LOCAL CPU backend when one exists (bench sets
+            # jax_platforms="axon,cpu"): the eager per-layer init runs at
+            # numpy speed with no tunnel round-trips, the cache save reads
+            # host arrays (D2H of the full pytree over the tunnel measured
+            # pathologically slow — 8+ min for 3.4 GB), and the params
+            # reach the device in ONE bulk device_put. Values are
+            # bit-identical either way (threefry is backend-deterministic).
+            cpu = _maybe_cpu_device()
+            dev0 = jax.devices()[0]
+            if cpu is not None and dev0.platform != "cpu":
+                with jax.default_device(cpu):
+                    host_params = {
+                        "unet": unet.init(k1, lat,
+                                          jnp.zeros((1,), jnp.int32), ctx),
+                        "vae": vae.init(k2, img, k2),
+                    }
+                _save_init_cache(weights, host_params)
+                params = jax.device_put(host_params, dev0)
+            else:
+                params = {
+                    "unet": unet.init(k1, lat,
+                                      jnp.zeros((1,), jnp.int32), ctx),
+                    "vae": vae.init(k2, img, k2),
+                }
+                _save_init_cache(weights, params)
         text_encode = None
 
     def get_text_embeds(prompts, negatives):

@@ -34,10 +34,28 @@ def main():
     ap.add_argument("--out", default="/tmp/trace_vae")
     args = ap.parse_args()
 
+    # init on a LOCAL cpu backend when tunneled (numpy-speed eager init,
+    # one bulk transfer) — same trick as sds.py/bench.py
+    import os
+    try:
+        if (os.environ.get("JAX_PLATFORMS", "") == "axon"
+                and jax.config.jax_platforms != "cpu"):
+            jax.config.update("jax_platforms", "axon,cpu")
+    except Exception:
+        pass
     vae = sd15_vae(dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (1, args.H, args.H, 3), jnp.float32) * 2 - 1
-    params = vae.init(key, x, key)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        cpu = None
+    if cpu is not None and jax.devices()[0].platform != "cpu":
+        with jax.default_device(cpu):
+            params = vae.init(key, jax.device_put(x, cpu), key)
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        params = vae.init(key, x, key)
 
     def loss(p, x, k):
         z = vae.apply(p, x, k, method=vae.encode)
