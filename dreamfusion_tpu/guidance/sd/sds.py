@@ -179,12 +179,25 @@ def build_sd_guidance(weights: Optional[str] = None,
             cpu = _maybe_cpu_device()
             dev0 = jax.devices()[0]
             if cpu is not None and dev0.platform != "cpu":
-                with jax.default_device(cpu):
-                    host_params = {
-                        "unet": unet.init(k1, lat,
-                                          jnp.zeros((1,), jnp.int32), ctx),
-                        "vae": vae.init(k2, img, k2),
-                    }
+                # the flash-attention gate keys on the GLOBAL default
+                # backend (still "tpu" inside default_device(cpu)), and the
+                # stock kernel has no CPU mode — pin einsum for the init
+                # forward. Init PARAMS are initializer-only (activations
+                # carry shapes, not values), so the impl cannot change them.
+                from dreamfusion_tpu.guidance.sd import layers as _sdl
+
+                old_impl = _sdl.ATTN_IMPL
+                _sdl.ATTN_IMPL = "einsum"
+                try:
+                    with jax.default_device(cpu):
+                        host_params = {
+                            "unet": unet.init(k1, lat,
+                                              jnp.zeros((1,), jnp.int32),
+                                              ctx),
+                            "vae": vae.init(k2, img, k2),
+                        }
+                finally:
+                    _sdl.ATTN_IMPL = old_impl
                 _save_init_cache(weights, host_params)
                 params = jax.device_put(host_params, dev0)
             else:

@@ -51,8 +51,15 @@ def main():
     except Exception:
         cpu = None
     if cpu is not None and jax.devices()[0].platform != "cpu":
-        with jax.default_device(cpu):
-            params = vae.init(key, jax.device_put(x, cpu), key)
+        from dreamfusion_tpu.guidance.sd import layers as _sdl
+
+        old_impl = _sdl.ATTN_IMPL       # flash kernel has no CPU mode
+        _sdl.ATTN_IMPL = "einsum"
+        try:
+            with jax.default_device(cpu):
+                params = vae.init(key, jax.device_put(x, cpu), key)
+        finally:
+            _sdl.ATTN_IMPL = old_impl
         params = jax.device_put(params, jax.devices()[0])
     else:
         params = vae.init(key, x, key)
