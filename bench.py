@@ -338,37 +338,12 @@ def _run(args, remaining):
                   "unit": "it/s", "provisional": True,
                   "vs_baseline": round(prov2 / REFERENCE_ITERS_PER_SEC, 3)},
                  rank=1)
-    # pre-warm the (K, compact_M) programs adjacent to the settled pair so a
-    # mid-window bucket drift never compiles inside the measurement (results
-    # discarded; state not advanced)
-    n_rays = cfg.batch_size * cfg.h * cfg.w
-    cur_K = getattr(trainer, "_cur_grid_K", cfg.grid_K)
-    cur_M = getattr(trainer, "_cur_compact_M", None)
-    warm = set()
-    for Kb in (48, 64, 96, 128):
-        if Kb <= cfg.grid_K:
-            warm.add((Kb, None))
-    if cfg.grid_compact and cur_M:
-        # only the M buckets adjacent to the settled one — the EMA policy
-        # moves at most one ladder step per refresh, and every remote
-        # compile here costs ~a minute over the tunnel
-        ladder = [16, 32, 48, 64, 96, 128]
-        mi = ladder.index(cur_M // n_rays) if cur_M // n_rays in ladder else 0
-        for mb in ladder[max(mi - 1, 0):mi + 2]:
-            if mb < cur_K:
-                warm.add((cur_K, mb * n_rays))
-    for Kb, Mb in sorted(warm, key=lambda t: (t[0], t[1] or 0)):
-        if remaining() < 240:
-            # cold cache: each pre-warm is a multi-minute remote compile.
-            # A measured window that risks one mid-drift compile (rare:
-            # the EMA-damped bucket moves at most one step per refresh)
-            # beats exhausting the deadline before measuring at all.
-            print("# prewarm truncated by deadline", file=sys.stderr,
-                  flush=True)
-            break
-        _ = trainer._get_train_step(Kb, Mb)(
-            trainer.state, trainer.guidance.params, trainer.text_z,
-            None, trainer.grid_state)
+    # No adjacent-bucket prewarm: the measured window below runs with
+    # pin_programs=True, so the ONLY program it can execute is the settled
+    # one that the last warmup step just ran — already compiled by
+    # construction. (The old prewarm predates pin_programs and cost up to
+    # four multi-minute remote compiles per cold run, which in round 3 ate
+    # the deadline before the measured window could land.)
     _sync(trainer)
 
     # measured window runs with the adaptive (K, M) programs PINNED at
@@ -401,6 +376,11 @@ def _run(args, remaining):
         "value": round(it_per_sec, 3),
         "unit": "it/s",
         "vs_baseline": round(it_per_sec / REFERENCE_ITERS_PER_SEC, 3),
+        # the settled adaptive programs the pinned window measured — A/B
+        # logs need these to confirm both arms ran comparable budgets
+        "settled_K": getattr(trainer, "_cur_grid_K", cfg.grid_K),
+        "settled_M_per_ray": (getattr(trainer, "_cur_compact_M", None)
+                              or 0) // (cfg.batch_size * cfg.h * cfg.w),
     }
     # the existence proof: flushed BEFORE any optional stage can stall
     emit(result)
@@ -420,26 +400,13 @@ def _run(args, remaining):
                 _ = float(jnp.sum(out["image"]))
             return (time.perf_counter() - t0) / 2
 
-        # 512^2 eval throughput on the bench's own (130-step, still foggy)
-        # scene — budget-gated: a cold ladder can cost most of the deadline
-        # in remote compiles
-        if remaining() > 120:
-            try:
-                ft = timed_frames(512)
-                result["eval_rays_per_sec_512"] = round(512 * 512 / ft, 3)
-                emit(result)
-            except Exception as e:
-                result["eval_rays_per_sec_512_error"] = (
-                    f"{type(e).__name__}: {e}")
-        else:
-            result["eval_rays_per_sec_512_skipped"] = "deadline"
-
-        # 800^2 FPS, the metric of record (readme.md:21, ~10 FPS): the
-        # reference number is measured on a TRAINED scene (tight occupancy,
-        # opaque surface), not the 130-step fog this bench trains — swap in
-        # an analytic opaque ball's grid state (occ ~3%) so emit windows and
-        # transmittance-live buckets take trained-scene shape while shading
-        # still queries the real field
+        # 800^2 FPS FIRST — it is the eval metric of record (readme.md:21,
+        # ~10 FPS) and must land before the optional stages can spend the
+        # deadline. The reference number is measured on a TRAINED scene
+        # (tight occupancy, opaque surface), not the 130-step fog this
+        # bench trains — swap in an analytic opaque ball's grid state
+        # (occ ~3%) so emit windows and transmittance-live buckets take
+        # trained-scene shape while shading still queries the real field
         if remaining() > 150:
             try:
                 from dreamfusion_tpu.ops.marching import (GridState,
@@ -468,6 +435,20 @@ def _run(args, remaining):
                 result["eval_fps_800_error"] = f"{type(e).__name__}: {e}"
         else:
             result["eval_fps_800_skipped"] = "deadline"
+
+        # 512^2 eval throughput on the bench's own (130-step, still foggy)
+        # scene — budget-gated: a cold ladder can cost most of the deadline
+        # in remote compiles
+        if remaining() > 120:
+            try:
+                ft = timed_frames(512)
+                result["eval_rays_per_sec_512"] = round(512 * 512 / ft, 3)
+                emit(result)
+            except Exception as e:
+                result["eval_rays_per_sec_512_error"] = (
+                    f"{type(e).__name__}: {e}")
+        else:
+            result["eval_rays_per_sec_512_skipped"] = "deadline"
 
         # worst-case full-frame number (every ray at the full K budget):
         # the fog scene at 800^2, only with room to spare
