@@ -21,10 +21,20 @@ them; fp32 stats like flax's use_fast_variance one-pass E[x^2]-E[x]^2).
 from __future__ import annotations
 
 import math
+import os
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+# Output dtype of the normalized activations. Stats are ALWAYS f32; this
+# only controls the dtype the [B,H,W,C] result is materialized in before
+# the consumer (silu -> conv). "f32" (default) matches flax nn.GroupNorm
+# exactly; "bf16" halves the HBM bytes of every norm output at activation
+# scale (134 MB per 512^2x128 norm in the VAE encoder) and matches torch
+# AMP's fp16 silu more closely than f32 does. A/B via DFTPU_GN_DTYPE;
+# flip by measurement (scripts/mb_sd_vae.py, autopilot s7).
+GN_DTYPE = os.environ.get("DFTPU_GN_DTYPE", "f32")
 
 
 class TPUGroupNorm(nn.Module):
@@ -55,9 +65,11 @@ class TPUGroupNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (C,))
         bshape = (B,) + (1,) * len(red_axes) + (C,)
         y = (xf - mean_c.reshape(bshape)) * inv_c.reshape(bshape)
-        return y * scale + bias                             # f32, like
-                                                            # nn.GroupNorm(
-                                                            #  dtype=f32)
+        y = y * scale + bias            # f32, like nn.GroupNorm(dtype=f32)
+        if GN_DTYPE == "bf16":
+            y = y.astype(jnp.bfloat16)  # consumers cast here anyway; this
+                                        # halves the materialized bytes
+        return y
 
 
 # ---------------------------------------------------------------------------

@@ -321,3 +321,25 @@ def test_sd_init_cache_roundtrip(tmp_path, monkeypatch):
     l1 = g1.loss(g1.params, tz, img, jax.random.PRNGKey(0))
     l2 = g2.loss(g2.params, tz, img, jax.random.PRNGKey(0))
     assert float(l1) == float(l2)
+
+
+def test_tpu_group_norm_bf16_output_mode(monkeypatch):
+    """DFTPU_GN_DTYPE=bf16: same f32 statistics, output cast to bf16 —
+    the norm result must match the f32 path within bf16 rounding (the
+    consumer in every production use casts to bf16 right after anyway)."""
+    import flax.core
+
+    from dreamfusion_tpu.guidance.sd import layers
+
+    k = jax.random.PRNGKey(3)
+    x = jax.random.normal(k, (2, 8, 8, 64), jnp.bfloat16) * 3 + 1
+    variables = flax.core.freeze({"params": {
+        "scale": jax.random.normal(jax.random.fold_in(k, 1), (64,)),
+        "bias": jax.random.normal(jax.random.fold_in(k, 2), (64,))}})
+    ref = layers.TPUGroupNorm(32, epsilon=1e-6).apply(variables, x)
+    assert ref.dtype == jnp.float32
+    monkeypatch.setattr(layers, "GN_DTYPE", "bf16")
+    got = layers.TPUGroupNorm(32, epsilon=1e-6).apply(variables, x)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref), atol=0.05, rtol=0.02)
