@@ -344,6 +344,17 @@ def _run(args, remaining):
     # construction. (The old prewarm predates pin_programs and cost up to
     # four multi-minute remote compiles per cold run, which in round 3 ate
     # the deadline before the measured window could land.)
+    #
+    # One program pinning does NOT cover: the PARTIAL grid refresh
+    # (marching.make_update_extra_state, parts=4), which first runs at
+    # step 80 — inside the measured window (full refreshes cover only
+    # steps 16..64 of the warmup). Compile it here with the result
+    # discarded (the update is functional; trainer.grid_state is not
+    # advanced) so a cold cache cannot put its compile inside the window.
+    if trainer._update_grid is not None:
+        _ = jax.block_until_ready(trainer._update_grid(
+            trainer.state.params, trainer.grid_state,
+            jax.random.PRNGKey(0), 5))
     _sync(trainer)
 
     # measured window runs with the adaptive (K, M) programs PINNED at

@@ -273,6 +273,18 @@ def main():
         wait_for_tpu()
         argv, timeout, env_extra = STAGES[name]
         rc = run_stage(name, argv, timeout, env_extra)
+        if rc == 0 and "bench.py" in " ".join(argv):
+            # bench's watchdog exits 0 with whatever lines were flushed —
+            # on a cold cache that can be only the compile-safe warmup
+            # provisional. A bench stage without a real (non-provisional)
+            # measured line is NOT a result; the attempt's value is that
+            # it wrote its programs to the persistent cache, so the retry
+            # runs warm and lands the pinned measured window.
+            j = last_json_line(read_log(name))
+            if not j or j.get("provisional"):
+                log(f"stage {name}: exited 0 but only a provisional line "
+                    "landed (cold-cache watchdog) — treating as retryable")
+                rc = 125
         if rc != 0:
             # transient infra failures are the COMMON case here (the
             # remote-compile leg drops connections independently of the
