@@ -165,6 +165,10 @@ STAGES = {
                    1800, None),
     # VAE encode re-diagnosis (57.5 ms fwd+bwd @512^2, 27% MXU).
     "s7_vae": ([PY, "scripts/mb_sd_vae.py"], 1200, None),
+    # GroupNorm bf16-output A/B (halves the HBM bytes of every norm output
+    # at activation scale; stats stay f32 — see layers.GN_DTYPE).
+    "s7b_vae_gnbf16": ([PY, "scripts/mb_sd_vae.py"], 1200,
+                       {"DFTPU_GN_DTYPE": "bf16"}),
     # transposed-output binned scatter (kills the table-sized {0,1}
     # relayout copy between kernel and fold, NOTES r3: 5.7 ms/step).
     "s8_scatter_t": ([PY, "bench.py", "--skip_eval", "--deadline", "1500"],
@@ -187,8 +191,8 @@ STAGES = {
 # eval A/Bs (baseline, bf16 probe, short march), then the scatter-t A/B and
 # the VAE diagnosis; the remaining train A/Bs and the train trace last.
 STAGE_ORDER = ["s1_bench", "s2_nocompact", "s6_eval800", "s9_eval_bf16p",
-               "s10_eval_short", "s8_scatter_t", "s7_vae", "s3_bf16tab",
-               "s4_attn", "s5_train_trace"]
+               "s10_eval_short", "s8_scatter_t", "s7_vae", "s7b_vae_gnbf16",
+               "s3_bf16tab", "s4_attn", "s5_train_trace"]
 
 
 # Paths whose content determines the measured programs. NOTES.md / docs /
