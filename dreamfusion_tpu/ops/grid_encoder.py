@@ -50,11 +50,14 @@ _U32 = (1 << 32) - 1
 # forces the oracle path; "pallas" the unbinned MXU kernel; "interpret"
 # runs the Pallas kernel in interpreter mode (CPU tests);
 # "binned"/"binned-interpret" route large levels through the sorted-window
-# kernel (pallas_scatter.matmul_scatter_add_oct_binned). Measured on v5e
-# (scripts/mb_scatter_binned.py, 2026-08-18): binned 3.99/2.81 ms vs
-# unbinned-v2 4.32/2.93 ms at J=262k/131k, and 3.647 vs 3.516 it/s
-# end-to-end — hence the auto default. DFTPU_SCATTER_IMPL overrides for
-# on-device A/B runs.
+# kernel (pallas_scatter.matmul_scatter_add_oct_binned); "binned-t" is the
+# transposed-output variant whose [128, window] tiles keep every
+# consumer-side fold in full-lane layouts (no table-sized {0,1} relayout
+# copy). Measured on v5e: binned 3.99/2.81 ms vs unbinned-v2 4.32/2.93 ms
+# at J=262k/131k (scripts/mb_scatter_binned.py, 2026-08-18), and binned-t
+# 5.092 it/s vs binned 4.487 end-to-end in the full driver-form bench
+# (autopilot s8 vs s1, same tree ad1fae4, warm cache, 2026-08-20) — hence
+# the auto default. DFTPU_SCATTER_IMPL overrides for on-device A/B runs.
 SCATTER_IMPL = os.environ.get("DFTPU_SCATTER_IMPL", "auto")
 
 
@@ -84,7 +87,7 @@ def _use_pallas_scatter(level_dim: int,
         raise ValueError(f"unknown scatter impl {impl!r}; expected one of "
                          "auto/xla/pallas/interpret/binned/binned-interpret/"
                          "binned-t/binned-t-interpret")
-    return "binned" if jax.default_backend() == "tpu" else None
+    return "binned-t" if jax.default_backend() == "tpu" else None
 
 
 @functools.lru_cache(maxsize=None)

@@ -657,8 +657,14 @@ def make_compact_map(counts: jax.Array, K: int, M: int) -> CompactMap:
 
     m_ar = jnp.arange(M, dtype=jnp.int32)
     # ray of compact index m: the first ray whose INCLUSIVE cumsum exceeds m
-    # (side='right' over the inclusive cumsum skips zero-count rays)
-    r = jnp.searchsorted(cum, m_ar, side="right").astype(jnp.int32)
+    # == #{i : cum[i] <= m} (side='right' skips zero-count rays). Computed as
+    # one N-point scatter + one [M] cumsum instead of jnp.searchsorted: on
+    # TPU searchsorted lowers to an O(log N) while-loop of gathers that
+    # measured 55% of the eval frame's device time (while.4 + its gather
+    # fusions, trace_eval800 2026-08-20). cum entries >= M are dropped; any
+    # such ray only holds compact indices >= M, which don't exist.
+    hist = jnp.zeros((M,), jnp.int32).at[cum].add(1, mode="drop")
+    r = jnp.cumsum(hist)
     r = jnp.minimum(r, N - 1)
     k_m = m_ar - jnp.take(offs, r)
     valid_m = m_ar < total2

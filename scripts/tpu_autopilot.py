@@ -187,12 +187,16 @@ STAGES = {
                        1800, {"DFTPU_EVAL_SHORT": "64",
                               "DFTPU_PROBE_DTYPE": "bf16"}),
 }
-# decision-critical first: the record run + compaction A/B, then the three
-# eval A/Bs (baseline, bf16 probe, short march), then the scatter-t A/B and
-# the VAE diagnosis; the remaining train A/Bs and the train trace last.
-STAGE_ORDER = ["s1_bench", "s2_nocompact", "s6_eval800", "s9_eval_bf16p",
-               "s10_eval_short", "s8_scatter_t", "s7_vae", "s7b_vae_gnbf16",
-               "s3_bf16tab", "s4_attn", "s5_train_trace"]
+# Round-4c plan (tree: binned-t scatter default + searchsorted->hist-cumsum
+# compact map). Decided A/Bs dropped: s8 (binned-t measured 5.092 vs 4.487
+# it/s, now the default — s1 IS its confirmation), s10 (short march measured
+# 0 win at 800^2). s1 first compiles + warms BOTH train and eval programs of
+# the new tree (long deadline absorbs the cold compiles), then the traces
+# and remaining A/Bs run warm. s2_nocompact last: re-confirms compaction's
+# margin now that the map setup no longer pays a 28 ms searchsorted.
+STAGE_ORDER = ["s1_bench", "s5_train_trace", "s6_eval800", "s9_eval_bf16p",
+               "s3_bf16tab", "s4_attn", "s7_vae", "s7b_vae_gnbf16",
+               "s2_nocompact"]
 
 
 # Paths whose content determines the measured programs. NOTES.md / docs /

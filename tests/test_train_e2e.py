@@ -377,3 +377,47 @@ def test_trainer_compact_policy_and_step(tmp_path):
     new_state, metrics = step_fn(trainer.state, trainer.guidance.params,
                                  trainer.text_z, None, trainer.grid_state)
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.slow
+def test_dp_grads_equal_mean_of_per_device_grads(tmp_path):
+    """SURVEY §2.4's last open correctness question (VERDICT r3 next #7):
+    the shard_map data-parallel gradient must EQUAL the arithmetic mean of
+    the per-device grads_fn evaluations at the same folded keys — on the
+    SDS step (the configuration a pod runs). Each DP device folds the step
+    key by its axis index (parallel/sharding.py data_parallel_grads), so
+    the single-device reference is grads_fn(key_d) averaged over d."""
+    from dreamfusion_tpu.training.trainer import make_grads_fn
+    from dreamfusion_tpu.parallel.sharding import (data_parallel_grads,
+                                                   make_mesh)
+
+    cfg = _tiny_cfg(tmp_path, guidance="stable-diffusion",
+                    sd_weights="random-nano", backbone="grid", n_devices=8,
+                    h=8, w=8, H=16, W=16, num_steps=8, upsample_steps=8,
+                    lambda_orient=0.0)
+    trainer = Trainer("t", cfg, use_checkpoint="scratch")
+    gf = make_grads_fn(cfg, trainer.model, trainer.guidance,
+                       renderer=trainer.renderer)
+    args = (trainer.state.params, trainer.state.step,
+            trainer.guidance.params, trainer.text_z)
+    key = jax.random.PRNGKey(7)
+
+    dp = jax.jit(data_parallel_grads(gf, make_mesh(8)))
+    loss_dp, _, grads_dp = dp(*args, key, trainer.grid_state)
+
+    jgf = jax.jit(gf)
+    per = [jgf(*args, jax.random.fold_in(key, d), trainer.grid_state)
+           for d in range(8)]
+    loss_ref = np.mean([float(l) for l, _, _ in per])
+    grads_ref = jax.tree.map(
+        lambda *xs: np.mean(np.stack([np.asarray(x) for x in xs]), axis=0),
+        *[g for _, _, g in per])
+
+    np.testing.assert_allclose(float(loss_dp), loss_ref, rtol=1e-5)
+    for path, (a, b) in zip(
+            jax.tree_util.tree_leaves_with_path(grads_dp),
+            zip(jax.tree_util.tree_leaves(grads_dp),
+                jax.tree_util.tree_leaves(grads_ref))):
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=2e-5, atol=1e-7,
+            err_msg=jax.tree_util.keystr(path[0]))
