@@ -157,6 +157,16 @@ def pallas_check():
             np.asarray(got_t.T) / scale_o, np.asarray(oracle_o) / scale_o,
             atol=2e-2))
 
+        # fused small-table probe gather (staged-eval coarse classify)
+        from dreamfusion_tpu.ops.pallas_probe import probe_select_small
+        kp1, kp2 = jax.random.split(jax.random.PRNGKey(3))
+        ptab = jax.random.randint(kp1, (32768,), 0, 256,
+                                  dtype=jnp.int32).astype(jnp.uint8)
+        pidx = jax.random.randint(kp2, (5001,), 0, 32768, dtype=jnp.int32)
+        gotp = probe_select_small(ptab, pidx, interpret=interp)
+        scatter_ok = scatter_ok and bool(np.array_equal(
+            np.asarray(gotp), np.asarray(jnp.take(ptab, pidx), np.float32)))
+
         # flash-attention path of the SD attention core (compiled kernels
         # only exist on TPU; the stock op has no interpret mode)
         attn_ok = True
@@ -428,19 +438,24 @@ def _run(args, remaining):
                     return {"sigma": jnp.where(r < 0.4, 150.0, 0.0)}
 
                 saved = trainer.grid_state
-                trainer.grid_state = update_grid(
-                    _ball,
-                    GridState(
-                        density_grid=jnp.zeros_like(saved.density_grid),
-                        occ=jnp.zeros_like(saved.occ),
-                        mean_density=jnp.float32(0.0)),
-                    jax.random.PRNGKey(7), bound=cfg.bound,
-                    density_thresh=cfg.density_thresh)
-                ft = timed_frames(800)
+                try:
+                    trainer.grid_state = update_grid(
+                        _ball,
+                        GridState(
+                            density_grid=jnp.zeros_like(saved.density_grid),
+                            occ=jnp.zeros_like(saved.occ),
+                            mean_density=jnp.float32(0.0)),
+                        jax.random.PRNGKey(7), bound=cfg.bound,
+                        density_thresh=cfg.density_thresh)
+                    ft = timed_frames(800)
+                finally:
+                    # ALWAYS restore: a raise mid-eval must not leak the
+                    # ball state into the later 512^2/fog stages (they
+                    # would silently measure the wrong scene)
+                    trainer.grid_state = saved
                 result["eval_fps_800"] = round(1.0 / ft, 3)
                 result["eval_fps_800_vs_baseline"] = round(
                     result["eval_fps_800"] / REFERENCE_EVAL_FPS, 3)
-                trainer.grid_state = saved
                 emit(result)
             except Exception as e:
                 result["eval_fps_800_error"] = f"{type(e).__name__}: {e}"
@@ -471,7 +486,44 @@ def _run(args, remaining):
             except Exception as e:
                 result["eval_fps_800_fog_error"] = f"{type(e).__name__}: {e}"
 
+    # MFU accounting (VERDICT r4 next #6): XLA's own flop count for the
+    # settled step executable / measured step time / chip peak. Makes perf
+    # headroom a tracked number instead of per-round trace archaeology.
+    # Runs LAST: a wedged retrace must never eat the eval stages' budget.
+    if remaining() > 60:
+        flops, mfu = _mfu_estimate(trainer, it_per_sec)
+        if mfu is not None:
+            result["flops_per_step"] = flops
+            result["mfu"] = mfu
+            emit(result)
+
     emit(result)
+
+
+# v5e peak: 197 TFLOP/s bf16 (394 int8). The step mixes bf16 matmuls with
+# f32 elementwise/compositing, so this MFU is a lower bound on "fraction of
+# the ideal machine used" — documented in BASELINE.md.
+_V5E_PEAK_FLOPS = 1.97e14
+
+
+def _mfu_estimate(trainer, it_per_sec):
+    """(analytic flops/step, model flops utilization) from the compiled
+    step's own cost analysis; (None, None) when the backend can't say."""
+    try:
+        lowered = trainer._train_step.lower(
+            trainer.state, trainer.guidance.params, trainer.text_z, None,
+            *((trainer.grid_state,) if trainer.renderer == "grid" else ()))
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        if flops <= 0:
+            return None, None
+        return flops, round(flops * it_per_sec / _V5E_PEAK_FLOPS, 4)
+    except Exception as e:
+        print(f"# mfu estimate unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+        return None, None
 
 
 def _sync(trainer):

@@ -57,6 +57,13 @@ class Config:
     # mode kernel would slow CPU runs ~10x).
     pallas_composite: Optional[bool] = None
     grid_table_bf16: bool = False       # bf16 hash-table gathers (HBM lever)
+    # staged-EVAL-only bf16 hash-table view: halves the bytes of the shade
+    # stage's level gathers (~23% of the 800^2 frame, r4 trace) without
+    # touching the train step. Parity note: the reference renders eval
+    # frames under torch.cuda.amp fp16 (utils.py eval loop), so bf16
+    # eval features are the reference's own numeric regime, not a loosened
+    # one. Train-path tables stay governed by grid_table_bf16.
+    eval_table_bf16: bool = True
     # adaptive-K bucket source: 'count' = 95th-pct marching count (the
     # mean_count budget analog); 'live' = 95th-pct TRANSMITTANCE-live count
     # (samples before the T<1e-4 early stop — the CUDA compositor's break,
@@ -82,12 +89,6 @@ class Config:
     # +-bound. The reference's aabb_infer sliders (nerf/gui.py:319-345)
     # mutate only the inference AABB, never the train one.
     aabb_infer: Optional[Tuple[float, ...]] = None
-    # staged-eval short-window march: N > 0 marches flagged groups at an
-    # N-lattice-point window first, re-marching only groups an unsaturated
-    # ray provably needs at the full span bucket (exact; the shaded live
-    # prefix is identical — see make_staged_grid_eval). 0 = off.
-    # DFTPU_EVAL_SHORT overrides for on-device A/B runs.
-    eval_short_march: int = 0
     grid_decay: float = 0.95            # occupancy EMA decay (renderer.py:563)
     # -- model ---------------------------------------------------------------
     backbone: str = "grid"              # 'grid' | 'vanilla' | 'dvgo'
@@ -220,12 +221,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    action="store_false")
     p.add_argument("--grid_table_bf16", action="store_true",
                    default=defaults.grid_table_bf16)
+    p.add_argument("--no_eval_table_bf16", dest="eval_table_bf16",
+                   action="store_false", default=defaults.eval_table_bf16)
     p.add_argument("--no_grid_compact", dest="grid_compact",
                    action="store_false", default=defaults.grid_compact)
     p.add_argument("--grid_compact_slack", type=float,
                    default=defaults.grid_compact_slack)
-    p.add_argument("--eval_short_march", type=int,
-                   default=defaults.eval_short_march)
     p.add_argument("--grid_decay", type=float, default=defaults.grid_decay)
     p.add_argument("--test_size", type=int, default=defaults.test_size)
     p.add_argument("--val_size", type=int, default=defaults.val_size)

@@ -34,6 +34,10 @@ import jax.numpy as jnp
 # scale (134 MB per 512^2x128 norm in the VAE encoder) and matches torch
 # AMP's fp16 silu more closely than f32 does. A/B via DFTPU_GN_DTYPE;
 # flip by measurement (scripts/mb_sd_vae.py, autopilot s7).
+# NOTE: read ONCE at import time — setting the env var after this module
+# is imported (or mid-process) has no effect, and already-jitted programs
+# never retrace on a flip. A/B runs must set it in a fresh subprocess
+# (the autopilot per-stage env pattern).
 GN_DTYPE = os.environ.get("DFTPU_GN_DTYPE", "f32")
 
 

@@ -328,18 +328,10 @@ PROBE_IMPL = os.environ.get("DFTPU_PROBE_IMPL", "row")
 if PROBE_IMPL not in _PROBE_IMPLS:   # typo'd env must not silently re-measure
     raise ValueError(f"DFTPU_PROBE_IMPL={PROBE_IMPL!r}; valid {_PROBE_IMPLS}")
 
-# Density-EMA probe element type (probe_density, the staged-eval fine march):
-# each row-take fetches a full 128-lane row per probe, so bf16 halves the
-# gather's HBM bytes. The estimate feeds an occupancy compare and a
-# transmittance-live estimate with a 3x log-space margin — bf16's ~3
-# significant digits are ample there — but borderline emit flips make
-# staged-vs-direct equality tests tolerance-sensitive, so f32 stays the
-# default until the eval A/B (autopilot) says otherwise.
-_PROBE_DTYPES = ("f32", "bf16")
-PROBE_DENSITY_DTYPE = os.environ.get("DFTPU_PROBE_DTYPE", "f32")
-if PROBE_DENSITY_DTYPE not in _PROBE_DTYPES:
-    raise ValueError(f"DFTPU_PROBE_DTYPE={PROBE_DENSITY_DTYPE!r}; "
-                     f"valid {_PROBE_DTYPES}")
+# Density-EMA probes (probe_density) stay f32: the bf16 variant
+# (DFTPU_PROBE_DTYPE, round 4) measured 1.0115 vs 1.0204 FPS at 800^2 —
+# no win (the probe fetch is not the frame's bottleneck) — and was removed
+# (autopilot s9 vs s6, 2026-08-20).
 
 
 def _row_take(tab: jax.Array, flat_idx: jax.Array) -> jax.Array:
@@ -356,6 +348,16 @@ def _row_take(tab: jax.Array, flat_idx: jax.Array) -> jax.Array:
 def _probe_gather(occ_flat1: jax.Array, flat_idx: jax.Array) -> jax.Array:
     """Gather bool occupancy [T] at flat_idx [N, S] under PROBE_IMPL."""
     if PROBE_IMPL == "row" and occ_flat1.shape[0] % 128 == 0:
+        T = occ_flat1.shape[0]
+        if (T // 128 <= 512 and jax.default_backend() == "tpu"
+                and os.environ.get("DFTPU_PROBE_KERNEL", "1") != "0"):
+            # small (pooled) tables: fused VMEM-resident Pallas gather —
+            # the XLA row+one-hot path materializes a [J, 128] u8 row
+            # matrix in HBM (~63 ms/frame at 800^2, r4 eval trace)
+            from dreamfusion_tpu.ops.pallas_probe import probe_select_small
+            vals = probe_select_small(occ_flat1.astype(jnp.uint8),
+                                      flat_idx.reshape(-1))
+            return vals.reshape(flat_idx.shape) != 0
         return _row_take(occ_flat1.astype(jnp.uint8), flat_idx) != 0
     if PROBE_IMPL == "u8":
         return jnp.take(occ_flat1.astype(jnp.uint8), flat_idx, axis=0) != 0
@@ -413,10 +415,6 @@ def probe_density(density_grid: jax.Array, rays_o: jax.Array,
     occupancy the march used."""
     H = density_grid.shape[1]
     grid_flat = density_grid[0].reshape(-1)
-    if PROBE_DENSITY_DTYPE == "bf16":
-        # one full-grid cast per dispatch (~8 MB read at 128^3, trivial)
-        # halves the bytes of every row fetched by the per-probe gather
-        grid_flat = grid_flat.astype(jnp.bfloat16)
     idx_axes = []
     for d in range(3):
         x_d = jnp.clip(rays_o[:, d:d + 1] + ts * rays_d[:, d:d + 1],
@@ -638,6 +636,9 @@ class CompactMap(NamedTuple):
     fwd_flat: jax.Array   # [M] i32: compact index -> flat slot (n*K + k)
     valid_m: jax.Array    # [M] bool: compact index is a real sample
     ray_of_m: jax.Array   # [M] i32: compact index -> ray
+    offs: jax.Array       # [N] i32: ray -> first compact index (exclusive
+                          #   cumsum of kept counts; == M-capped positions)
+    cnt: jax.Array        # [N] i32: ray -> kept (truncated) sample count
 
 
 def make_compact_map(counts: jax.Array, K: int, M: int) -> CompactMap:
@@ -670,7 +671,7 @@ def make_compact_map(counts: jax.Array, K: int, M: int) -> CompactMap:
     valid_m = m_ar < total2
     fwd_flat = jnp.where(valid_m, r * K + jnp.clip(k_m, 0, K - 1), 0)
     return CompactMap(pos=pos, fwd_flat=fwd_flat, valid_m=valid_m,
-                      ray_of_m=jnp.where(valid_m, r, 0))
+                      ray_of_m=jnp.where(valid_m, r, 0), offs=offs, cnt=c2)
 
 
 @jax.custom_vjp
@@ -701,6 +702,94 @@ def _compact_expand_bwd(res, cot):
 
 
 compact_expand.defvjp(_compact_expand_fwd, _compact_expand_bwd)
+
+
+def _bcast_ray(vals_n: jax.Array, ray_of_m: jax.Array) -> jax.Array:
+    """Broadcast per-ray values [N] to per-sample [M] (gather by ray id).
+    Uses the row+one-hot take (the measured-fastest TPU small-table gather,
+    see _row_take) when N is lane-aligned."""
+    if vals_n.shape[0] % 128 == 0:
+        return _row_take(vals_n, ray_of_m)
+    return jnp.take(vals_n, ray_of_m, axis=0)
+
+
+def composite_compact(sigma_c: jax.Array, color_c: jax.Array,
+                      t_c: jax.Array, dt_c: jax.Array, cmap: CompactMap,
+                      N: int, T_thresh: float = 0.0,
+                      use_pallas: Optional[bool] = None):
+    """Alpha-composite DIRECTLY on the ray-major compact sample buffer —
+    no [N, K] expansion. The round-4 eval trace showed compact_expand's
+    color gather (output [N*K, 3], whose trailing dim pads 3 -> 128 lanes)
+    alone at ~28% of the 800^2 frame; samples dropped by compaction have
+    sigma=0, dt=0 in the dense path (alpha 0, transmittance unchanged), so
+    compositing only the compact buffer is EXACT, not an approximation.
+
+    Transmittance: per-ray exclusive prefix of l = log(1-alpha+1e-15) in
+    the flat [M] buffer. A single f32 cumsum over [M] would carry a running
+    magnitude of sum|l| over every ray in the group (~1e5 on an opaque
+    scene: eps-level relative error becomes O(1e-2) absolute in log space).
+    Two passes fix it: pass 1 takes APPROXIMATE per-ray totals from a raw
+    cumsum; pass 2 cumsums l with `-prev_ray_total` injected at each ray
+    start, so the running value stays near zero (only the pass-1
+    approximation error accumulates) and per-sample exclusive prefixes
+    read off exactly (the injected resets cancel in the segment math).
+
+    Per-ray reductions (weights_sum, depth, rgb, live count) ride ONE
+    matmul-scatter kernel (ray ids are sorted; 6 of the 16 wide channels)
+    on TPU, or an XLA scatter-add elsewhere.
+
+    Returns (rgb [N,3], weights_sum [N], depth_sum [N], live_counts [N]).
+    Forward-only (the eval path); the train path keeps compact_expand +
+    dense composite for its custom VJPs.
+    """
+    M = sigma_c.shape[0]
+    f32 = jnp.float32
+    tau = sigma_c.astype(f32) * dt_c.astype(f32)               # >= 0
+    alpha = 1.0 - jnp.exp(-tau)
+    l = jnp.log(jnp.exp(-tau) + 1e-15)                         # <= ~0
+
+    offs = cmap.offs
+    ends = offs + cmap.cnt
+    # pass 1: approximate per-ray l totals
+    A1 = jnp.concatenate([jnp.zeros((1,), f32), jnp.cumsum(l)])
+    S_approx = jnp.take(A1, ends) - jnp.take(A1, offs)         # [N]
+    # pass 2: reset-injected cumsum. delta_n = -S_approx[n-1] telescopes
+    # the ideal running value to zero at every ray start. Injected at the
+    # PREVIOUS ray's last sample (offs_n - 1), never inside ray n's span,
+    # so every in-ray segment sum A2_0[m] - A2_0[offs_n] reads pure l.
+    # delta_n != 0 requires ray n-1 to have samples, hence offs_n >= 1.
+    resets = -jnp.concatenate([jnp.zeros((1,), f32), S_approx[:-1]])
+    z = l.at[jnp.maximum(offs - 1, 0)].add(
+        jnp.where(offs > 0, resets, 0.0))
+    A2_0 = jnp.concatenate([jnp.zeros((1,), f32), jnp.cumsum(z)])  # [M+1]
+    base = jnp.take(A2_0, offs)                                # [N]
+    excl = A2_0[:M] - _bcast_ray(base, cmap.ray_of_m)          # [M]
+    trans = jnp.exp(jnp.minimum(excl, 0.0))
+    w = alpha * trans
+    if T_thresh > 0.0:
+        w = jnp.where(trans > T_thresh, w, 0.0)
+    w = jnp.where(cmap.valid_m, w, 0.0)
+    live = (cmap.valid_m & (trans > T_thresh)).astype(f32)
+
+    ch = [w, w * t_c.astype(f32), w * color_c[:, 0].astype(f32),
+          w * color_c[:, 1].astype(f32), w * color_c[:, 2].astype(f32),
+          live]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from dreamfusion_tpu.ops.pallas_scatter import \
+            matmul_scatter_add_wide
+        upd = jnp.stack(ch + [jnp.zeros((M,), f32)] * (16 - len(ch)))
+        acc = matmul_scatter_add_wide(
+            cmap.ray_of_m.astype(jnp.int32), upd, N,
+            interpret=jax.default_backend() != "tpu")          # [N, 16]
+    else:
+        acc = jnp.zeros((N, len(ch)), f32).at[cmap.ray_of_m].add(
+            jnp.stack(ch, axis=-1))
+    ws, depth_sum = acc[:, 0], acc[:, 1]
+    rgb = acc[:, 2:5]
+    live_counts = acc[:, 5]
+    return rgb, ws, depth_sum, live_counts
 
 
 # ---------------------------------------------------------------------------
@@ -777,6 +866,7 @@ def shade_march(
     pallas_composite: Optional[bool] = None,
     k_smooth: Optional[jax.Array] = None,
     compact_M: Optional[int] = None,
+    compact_composite: bool = False,
 ) -> Dict[str, jax.Array]:
     """Field query + compositing over pre-marched samples. Split out of
     render_grid so staged/bucketed eval can march once at the full budget
@@ -790,7 +880,12 @@ def shade_march(
     bucket (see the sample-compaction section above). When the valid total
     exceeds M, each ray keeps floor(count * M/total) samples. With
     compaction, loss_smooth averages over the real samples only (the dense
-    path averages over every slot, including clipped invalid points)."""
+    path averages over every slot, including clipped invalid points).
+
+    compact_composite: composite directly on the compact buffer
+    (composite_compact) — no [N, K] expansion gathers and no dense
+    composite at all. Forward-only (the staged eval path); train keeps
+    the expand + dense-composite route for its custom VJPs."""
     N = rays_o.shape[0]
     if K < march.ts.shape[1]:
         march = MarchOut(ts=march.ts[:, :K], dts=march.dts[:, :K],
@@ -800,24 +895,49 @@ def shade_march(
     xyzs = jnp.clip(xyzs, -bound, bound)                      # [N, K, 3]
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
 
+    if pallas_composite is None:
+        # auto: the fused kernel wins (narrowly) on TPU; off-TPU the
+        # interpret-mode kernel would be ~10x slower than the jnp path
+        pallas_composite = jax.default_backend() == "tpu"
+
     cmap = None
+    compact_out = None
     if compact_M is not None and compact_M < N * K:
         cmap = make_compact_map(march.counts, K, compact_M)
-        t_c = jnp.take(march.ts.reshape(-1), cmap.fwd_flat)   # [M]
-        o_c = jnp.take(rays_o, cmap.ray_of_m, axis=0)         # [M, 3]
-        d_c = jnp.take(rays_d, cmap.ray_of_m, axis=0)
+        # element takes ([M] from [N*K] / [M,3] from [N,3]) run ~3x slower
+        # than the row+one-hot form on TPU (NOTES r3 probe A/B); _flat_take
+        # routes by alignment
+        _flat_take = (lambda v, i: _row_take(v, i)
+                      if v.shape[0] % 128 == 0 else jnp.take(v, i))
+        t_c = _flat_take(march.ts.reshape(-1), cmap.fwd_flat)  # [M]
+        o_c = jnp.stack([_flat_take(rays_o[:, a], cmap.ray_of_m)
+                         for a in range(3)], axis=-1)          # [M, 3]
+        d_c = jnp.stack([_flat_take(rays_d[:, a], cmap.ray_of_m)
+                         for a in range(3)], axis=-1)
         xyz_c = jnp.clip(o_c + d_c * t_c[:, None], -bound, bound)
         sigma_c, color_c, normal_c = fns.field(
             xyz_c, d_c, light_d, ambient_ratio, shading_code)
         sigma_c = jnp.where(cmap.valid_m, sigma_c, 0.0)
-        sigma = compact_expand(sigma_c, cmap.pos, cmap.fwd_flat,
-                               cmap.valid_m) * march.valid
-        color = compact_expand(color_c, cmap.pos, cmap.fwd_flat,
-                               cmap.valid_m)
-        # the per-ray proportional truncation may zero valid slots; dts
-        # must match so truncated slots contribute neither alpha nor depth
-        kept = cmap.pos < compact_M
-        dts = march.dts * (march.valid & kept)
+        if compact_composite:
+            assert not compute_normal_losses, \
+                "compact_composite is the eval-only fast path"
+            dt_c = _flat_take(march.dts.reshape(-1), cmap.fwd_flat)
+            rgb_s, ws_s, depth_s, live_cc = composite_compact(
+                sigma_c, color_c, t_c, dt_c, cmap, N, T_thresh,
+                use_pallas=pallas_composite)
+            out = CompositeOut(weights=None, weights_sum=ws_s,
+                               depth=depth_s, rgb=rgb_s)
+            compact_out = live_cc
+        else:
+            sigma = compact_expand(sigma_c, cmap.pos, cmap.fwd_flat,
+                                   cmap.valid_m) * march.valid
+            color = compact_expand(color_c, cmap.pos, cmap.fwd_flat,
+                                   cmap.valid_m)
+            # the per-ray proportional truncation may zero valid slots;
+            # dts must match so truncated slots contribute neither alpha
+            # nor depth
+            kept = cmap.pos < compact_M
+            dts = march.dts * (march.valid & kept)
     else:
         sigma, color, normal = fns.field(xyzs.reshape(-1, 3),
                                          dirs.reshape(-1, 3),
@@ -826,11 +946,9 @@ def shade_march(
         color = color.reshape(N, K, 3)
         dts = march.dts * march.valid
 
-    if pallas_composite is None:
-        # auto: the fused kernel wins (narrowly) on TPU; off-TPU the
-        # interpret-mode kernel would be ~10x slower than the jnp path
-        pallas_composite = jax.default_backend() == "tpu"
-    if pallas_composite:
+    if compact_out is not None:
+        pass                    # composited above, no dense [N, K] pass
+    elif pallas_composite:
         # fused VMEM compositor with analytic VJP (ops/pallas_composite.py);
         # interpret mode keeps CPU tests running, compiled path on TPU.
         from dreamfusion_tpu.ops.pallas_composite import composite_fused
@@ -892,13 +1010,16 @@ def shade_march(
     # PREFIX, so next steps can shade at the smaller live bucket by plain
     # K-slicing with identical outputs for every non-truncated ray (the
     # CUDA early-break economy, raymarching.cu:557, recovered statically).
-    sg = jax.lax.stop_gradient
-    alphas_sg = 1.0 - jnp.exp(-sg(sigma) * dts)
-    trans_sg = jnp.cumprod(
-        jnp.concatenate([jnp.ones((N, 1)), 1.0 - alphas_sg + 1e-15], 1),
-        axis=1)[:, :-1]
-    live = march.valid & (trans_sg > T_thresh)
-    live_counts = jnp.sum(live, axis=1).astype(jnp.float32)
+    if compact_out is not None:
+        live_counts = compact_out       # counted inside composite_compact
+    else:
+        sg = jax.lax.stop_gradient
+        alphas_sg = 1.0 - jnp.exp(-sg(sigma) * dts)
+        trans_sg = jnp.cumprod(
+            jnp.concatenate([jnp.ones((N, 1)), 1.0 - alphas_sg + 1e-15], 1),
+            axis=1)[:, :-1]
+        live = march.valid & (trans_sg > T_thresh)
+        live_counts = jnp.sum(live, axis=1).astype(jnp.float32)
 
     results.update({
         "image": image,

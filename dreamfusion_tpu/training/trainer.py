@@ -243,6 +243,13 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
     from dreamfusion_tpu.ops.composite import near_far_from_aabb
     from dreamfusion_tpu.ops.marching import MarchOut, march_rays, shade_march
 
+    # eval-only bf16 hash-table view (cfg.eval_table_bf16): the shade
+    # stage's level gathers are the frame's largest HBM block; the
+    # reference evals under fp16 autocast, so this is its numeric regime
+    if (getattr(cfg, "eval_table_bf16", False)
+            and getattr(model, "table_bf16", None) is False):
+        model = model.clone(table_bf16=True)
+
     # aabb_infer (gui sliders) narrows only the eval ray-box intersection,
     # never the train path (reference: nerf/gui.py:319-345 mutates
     # aabb_infer, not aabb_train)
@@ -330,7 +337,7 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                     ambient_ratio=ambient_ratio,
                     shading_code=shading_code, bg_radius=cfg.bg_radius,
                     bg_color=bg, pallas_composite=cfg.pallas_composite,
-                    compact_M=Mb)
+                    compact_M=Mb, compact_composite=True)
                 up = lambda a, b: jax.lax.dynamic_update_slice_in_dim(
                     a, b, start, 0)
                 return (up(image, out["image"]), up(depth, out["depth"]),
@@ -348,7 +355,8 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         sample survives)."""
         if with_bg not in bg_cache:
             @jax.jit
-            def bg_only(params, d, bg_color):
+            def bg_only(params, packed_s, bg_color):
+                d = packed_s[:, 3:6]
                 n = d.shape[0]
                 if cfg.bg_radius > 0:
                     fns = make_field_fns(model, params)
@@ -427,11 +435,17 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         key = counts.astype(jnp.float32) * 4096.0 + jnp.minimum(
             span_steps, 4095.0)
         perm = jnp.argsort(key)                    # ascending: bg first
-        take = lambda x: jnp.take(x, perm, axis=0)
-        counts_s = take(counts)
+        # ONE row-gather moves all per-ray data through the permutation:
+        # four separate takes ([N,3] twice + two 1-D) ran at element-gather
+        # speed (~10 ms each at 800^2, r4 trace trainer.py:430); a single
+        # packed [N,8] gather moves the same payload in row form
+        packed = jnp.concatenate(
+            [o, d, t_lo[:, None], t_hi[:, None]], axis=1)      # [Np, 8]
+        packed_s = jnp.take(packed, perm, axis=0)
+        counts_s = jnp.take(counts, perm, axis=0)
         gmax = counts_s.reshape(-1, group).max(axis=1)
         gspan = jnp.take(span_steps, perm).reshape(-1, group).max(axis=1)
-        return (perm, take(o), take(d), take(t_lo), take(t_hi),
+        return (perm, packed_s,
                 jnp.stack([gmax.astype(jnp.float32), gspan], axis=1))
 
     # optical-depth budget for the live estimate: -ln(1e-4) with a 3x
@@ -439,33 +453,27 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
     # not a cell max)
     _LIVE_LOGT = 3.0 * 9.2103
 
-    # short-window march policy: N > 0 marches every flagged group at an
-    # N-point window first and falls back to the full ladder bucket only
-    # when a group provably needs it (see the policy note at the march
-    # queue below). cfg.eval_short_march sets the default; DFTPU_EVAL_SHORT
-    # overrides it for on-device A/B runs.
-    short_S = int(os.environ.get("DFTPU_EVAL_SHORT",
-                                 str(getattr(cfg, "eval_short_march", 0))))
+    # (The round-4 short-window march policy — march a short lattice window
+    # first, re-march unsaturated groups — measured 0.664 FPS vs 1.02 at
+    # 800^2: the fallback re-march dominated. Removed; groups march their
+    # emit-window ladder bucket directly.)
 
     march_cache: Dict[int, Any] = {}
 
     def get_march(S: int):
         """Windowed march at lattice length S + bucket drivers (exact
         counts and the transmittance-live estimate), one compiled program
-        per ladder length. The 4th stats slot reports whether any ray's
-        emit bracket extends past this window WITHOUT the window already
-        saturating its transmittance budget — the short-window fallback
-        trigger (see the DFTPU_EVAL_SHORT policy in render_frame)."""
+        per ladder length."""
         if S not in march_cache:
             @jax.jit
             def march_group(occ, density_grid, mean_density,
-                            o_s, d_s, tlo_s, thi_s, start):
+                            packed_s, start):
                 # slice the group INSIDE the program: an eager
                 # dynamic_slice costs a tunnel dispatch per operand per
                 # group (~10-30 ms issue latency each)
-                sl = lambda x: jax.lax.dynamic_slice_in_dim(
-                    x, start, group, 0)
-                o, d, t_lo, t_hi = sl(o_s), sl(d_s), sl(tlo_s), sl(thi_s)
+                p = jax.lax.dynamic_slice_in_dim(packed_s, start, group, 0)
+                o, d = p[:, 0:3], p[:, 3:6]
+                t_lo, t_hi = p[:, 6], p[:, 7]
                 nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
                 thresh = jnp.minimum(mean_density, cfg.density_thresh)
                 m, sig_est = march_rays_window(
@@ -476,11 +484,9 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                 if sig_est is None:      # multi-cascade: the mip-aware
                     glive = gcount       # sigma probe isn't built; shade
                     ltot = jnp.float32(-1.0)   # dense-bucket shade
-                    gneed = jnp.float32(0.0)
                 else:                    # at the exact count bucket
                     depth_ex = jnp.cumsum(
                         jnp.maximum(sig_est, 0.0) * m.dts * m.valid, axis=1)
-                    dtot = depth_ex[:, -1]
                     depth_ex = jnp.concatenate(
                         [jnp.zeros((o.shape[0], 1)), depth_ex[:, :-1]],
                         axis=1)
@@ -495,23 +501,9 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                                  counts=live_counts)
                     glive = jnp.max(live_counts)
                     ltot = jnp.sum(live_counts).astype(jnp.float32)
-                    # short-window soundness: a ray may have emits past
-                    # this window (bracket end beyond the last lattice
-                    # point) — fine iff the window already saturated the
-                    # ray's live budget (the tail would be masked anyway)
-                    # the first UNPROBED lattice point is exactly t_end;
-                    # bracket emits are at points <= t_hi (both are
-                    # nears + integer*dt, so exact collisions are common):
-                    # the unprobed-emit-may-exist test must be <=, not <
-                    dt = 2.0 * SQRT3 / cfg.max_steps
-                    k0 = jnp.floor((t_lo - nears) / dt)
-                    t_end = nears + (k0 + S) * dt
-                    gneed = jnp.max(
-                        ((t_end <= t_hi) & (t_end < fars)
-                         & (dtot < _LIVE_LOGT)).astype(jnp.float32))
                 return m, o, d, nears, fars, jnp.stack(
                     [glive.astype(jnp.float32), gcount.astype(jnp.float32),
-                     ltot, gneed])
+                     ltot])
 
             march_cache[S] = march_group
         return march_cache[S]
@@ -520,9 +512,12 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
     def unsort(image, depth, ws, perm):
         inv = jnp.argsort(perm)
         N = H * W
-        return (jnp.take(image, inv, axis=0)[:N].reshape(H, W, 3),
-                jnp.take(depth, inv, axis=0)[:N].reshape(H, W),
-                jnp.take(ws, inv, axis=0)[:N].reshape(H, W))
+        # one packed row-gather instead of three element-speed takes
+        packed = jnp.concatenate(
+            [image, depth[:, None], ws[:, None]], axis=1)      # [Np, 5]
+        pu = jnp.take(packed, inv, axis=0)[:N]
+        return (pu[:, 0:3].reshape(H, W, 3), pu[:, 3].reshape(H, W),
+                pu[:, 4].reshape(H, W))
 
     @jax.jit
     def paste(full_img, full_depth, full_ws, img, depth, ws, start):
@@ -583,25 +578,22 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             # in the persistent cache.
             warm_S = ([S_ladder[-1]] if cfg.eval_warm_buckets
                       else list(S_ladder))
-            if short_S and cfg.cascade == 1:
-                warm_S = sorted(set(warm_S + [min(short_S, S_ladder[-1])]))
-            zNp = jnp.zeros((Np, 3))
+            zpk = jnp.concatenate(
+                [jnp.zeros((Np, 3)), jnp.ones((Np, 3)) / 3 ** 0.5,
+                 jnp.zeros((Np, 2))], axis=1)
             for S in warm_S:
                 get_march(S)(grid_state.occ, grid_state.density_grid,
-                             grid_state.mean_density, zNp,
-                             jnp.ones((Np, 3)) / 3 ** 0.5,
-                             jnp.zeros((Np,)), jnp.zeros((Np,)), 0)
+                             grid_state.mean_density, zpk, 0)
 
         # 1. one-dispatch coarse classify + sort (bg rays first); ONE
         # transfer brings every group's pooled-probe max count + emit-
         # window span (in lattice steps)
-        perm, o_s, d_s, tlo_s, thi_s, gstats = count_sort(
-            grid_state.occ, rays_o, rays_d)
+        perm, packed_s, gstats = count_sort(grid_state.occ, rays_o, rays_d)
         gstats_host = np.asarray(gstats)           # [n_groups, (max, span)]
 
         # 2. background for the whole frame in one dispatch (cheap: bg net
         # on directions only); shaded tail groups overwrite it
-        out_bg = get_bg_only(with_bg)(params, d_s, bg)
+        out_bg = get_bg_only(with_bg)(params, packed_s, bg)
         image, depth, ws = (out_bg["image"], out_bg["depth"],
                             out_bg["weights_sum"])
 
@@ -609,14 +601,6 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         # bucket its emit window dictates), then fetch all shade-bucket
         # drivers (exact counts + transmittance-live estimates) in one
         # stacked transfer — no per-group sync.
-        # Short-window policy (DFTPU_EVAL_SHORT=N): march at the N-point
-        # window first — on an opaque trained scene the live prefix
-        # saturates within a few tens of samples of the bracket start, so
-        # most groups never pay the full ladder window. Groups whose 4th
-        # stat flags an unsaturated ray with emits past the short window
-        # are re-marched at the full bucket (exactness: the shaded live
-        # prefix is identical to the full march's, because the live mask
-        # truncates at the same 3x budget either way).
         marched = []
         for seg, g in enumerate(reversed(range(gstats_host.shape[0]))):
             if gstats_host[g, 0] == 0.0:
@@ -624,37 +608,18 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             start = Np - (seg + 1) * group         # static size, traced start
             span = float(gstats_host[g, 1])
             S_full = next((s for s in S_ladder if s >= span), S_ladder[-1])
-            S_m = (min(short_S, S_full) if short_S and cfg.cascade == 1
-                   else S_full)
-            m, o_g, d_g, nears_g, fars_g, stats = get_march(S_m)(
+            m, o_g, d_g, nears_g, fars_g, stats = get_march(S_full)(
                 grid_state.occ, grid_state.density_grid,
-                grid_state.mean_density, o_s, d_s, tlo_s, thi_s, start)
-            marched.append([start, o_g, d_g, m, nears_g, fars_g, stats,
-                            S_m, S_full])
+                grid_state.mean_density, packed_s, start)
+            marched.append([start, o_g, d_g, m, nears_g, fars_g, stats])
 
         if marched:
-            # np.array (copy): the redo loop writes refreshed group stats
-            # back in place, and np.asarray of a jax array is read-only
-            stats_host = np.array(jnp.stack([t[6] for t in marched]))
-            redo = [i for i, t in enumerate(marched)
-                    if t[7] < t[8] and stats_host[i, 3] > 0.0]
-            if redo:
-                for i in redo:
-                    start = marched[i][0]
-                    m2, o2, d2, ne2, fa2, st2 = get_march(marched[i][8])(
-                        grid_state.occ, grid_state.density_grid,
-                        grid_state.mean_density, o_s, d_s, tlo_s, thi_s,
-                        start)
-                    marched[i][1:7] = [o2, d2, m2, ne2, fa2, st2]
-                stats2 = np.asarray(jnp.stack([marched[i][6]
-                                               for i in redo]))
-                for j, i in enumerate(redo):
-                    stats_host[i] = stats2[j]
+            stats_host = np.asarray(jnp.stack([t[6] for t in marched]))
             # 4. shade each flagged group at its live bucket (exact march
             # counts capped by the transmittance-live estimate), pasting
             # into the frame buffers inside the same dispatch
             for (start, o_g, d_g, m, nears_g, fars_g, *_), \
-                    (glive, gcount, ltot, _need) in zip(marched, stats_host):
+                    (glive, gcount, ltot) in zip(marched, stats_host):
                 if gcount == 0.0:
                     continue                       # coarse flag, truly empty
                 if ltot >= 0.0:
@@ -708,7 +673,10 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             start = g * group
             maxc = int(gmax_host[g])
             if maxc == 0:
-                out = get_bg_only(with_bg)(params, d_s[sl], bg)
+                dpk = jnp.concatenate(       # bg_only reads cols 3:6 (d)
+                    [jnp.zeros((group, 3)), d_s[sl],
+                     jnp.zeros((group, 2))], axis=1)
+                out = get_bg_only(with_bg)(params, dpk, bg)
                 image, depth, ws = paste(image, depth, ws, out["image"],
                                          out["depth"], out["weights_sum"],
                                          start)

@@ -169,23 +169,18 @@ STAGES = {
     # at activation scale; stats stay f32 — see layers.GN_DTYPE).
     "s7b_vae_gnbf16": ([PY, "scripts/mb_sd_vae.py"], 1200,
                        {"DFTPU_GN_DTYPE": "bf16"}),
-    # transposed-output binned scatter (kills the table-sized {0,1}
-    # relayout copy between kernel and fold, NOTES r3: 5.7 ms/step).
-    "s8_scatter_t": ([PY, "bench.py", "--skip_eval", "--deadline", "1500"],
-                     1700, {"DFTPU_SCATTER_IMPL": "binned-t"}),
     # bf16 density-probe A/B for the staged eval's fine march (halves the
     # bytes of every probe row-fetch; compare fps vs s6_eval800).
     "s9_eval_bf16p": ([PY, "scripts/profile_eval.py", "--ball", "--H", "800",
                        "--out", os.path.join(STATE_DIR, "trace_eval800_bf16p")],
                       1800, {"DFTPU_PROBE_DTYPE": "bf16"}),
-    # short-window march A/B (saturation-bounded: opaque scenes march ~64
-    # lattice points instead of the full span bucket; exactness preserved
-    # by the live-mask semantics + per-group fallback).
-    "s10_eval_short": ([PY, "scripts/profile_eval.py", "--ball", "--H",
-                        "800", "--out",
-                        os.path.join(STATE_DIR, "trace_eval800_short")],
-                       1800, {"DFTPU_EVAL_SHORT": "64",
-                              "DFTPU_PROBE_DTYPE": "bf16"}),
+    # RETIRED round 4 (kept out of STAGES so config cannot drift from the
+    # tree, ADVICE r4):
+    #   s8_scatter_t — binned-t measured 5.092 vs 4.487 it/s and is now
+    #     the production default (DFTPU_SCATTER_IMPL no longer needed);
+    #   s10_eval_short — short-window march measured 0.664 FPS vs 1.02
+    #     baseline at 800^2 (the re-march fallback while-loop dominated);
+    #     lever removed.
 }
 # Round-4c plan (tree: binned-t scatter default + searchsorted->hist-cumsum
 # compact map). Decided A/Bs dropped: s8 (binned-t measured 5.092 vs 4.487

@@ -512,31 +512,20 @@ def test_probe_impl_variants_agree():
             np.testing.assert_allclose(dens["row"], dens["pred"], rtol=1e-6)
 
 
-def test_probe_density_bf16_close_to_f32():
-    """DFTPU_PROBE_DTYPE=bf16 halves the probe row-fetch bytes; the values
-    must match f32 to bf16 rounding (~2^-8 relative) — ample for the
-    occupancy compare and the 3x-margin transmittance-live estimate that
-    consume them. f32 stays the default (module constant) so the
-    staged==direct equality oracles stay exact."""
-    from dreamfusion_tpu.ops import marching
+def test_probe_select_small_matches_take():
+    """Fused VMEM probe gather (ops/pallas_probe.py) == the plain element
+    take, in interpret mode, incl. the padded tail chunk and u8 payloads
+    above 1 (exactness of the bf16 one-hot matmul)."""
+    from dreamfusion_tpu.ops.pallas_probe import probe_select_small
 
-    Hg = 32
-    o = jax.random.uniform(jax.random.PRNGKey(1), (5, 3)) * 2.0 - 1.0
-    d = jax.random.normal(jax.random.PRNGKey(2), (5, 3))
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    ts = jnp.linspace(0.05, 1.9, 40)[None, :].repeat(5, axis=0)
-    dgrid = jax.random.uniform(jax.random.PRNGKey(3), (1, Hg, Hg, Hg))
-
-    assert marching.PROBE_DENSITY_DTYPE == "f32"  # default pin
-    f32 = np.asarray(marching.probe_density(dgrid, o, d, ts, 1.0))
-    try:
-        marching.PROBE_DENSITY_DTYPE = "bf16"
-        b16 = np.asarray(marching.probe_density(dgrid, o, d, ts, 1.0))
-    finally:
-        marching.PROBE_DENSITY_DTYPE = "f32"
-    assert b16.dtype == np.float32          # upcast after the gather
-    np.testing.assert_allclose(b16, f32, rtol=1e-2, atol=1e-3)
-    assert float(np.abs(b16 - f32).max()) > 0.0 or float(f32.max()) == 0.0
+    T = 32768                               # pooled 32^3 occupancy size
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    tab = jax.random.randint(k1, (T,), 0, 256, dtype=jnp.int32).astype(
+        jnp.uint8)
+    idx = jax.random.randint(k2, (5001,), 0, T, dtype=jnp.int32)  # pad tail
+    got = probe_select_small(tab, idx, interpret=True)
+    ref = jnp.take(tab, idx).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
 def test_windowed_march_equals_full_march():
@@ -647,6 +636,62 @@ def test_make_compact_map_roundtrip_and_truncation():
                 assert fwd2[pos2[n, k]] == n * K + k
             else:
                 assert pos2[n, k] == M2
+
+
+@pytest.mark.parametrize("N,K,M,T_thresh,opaque", [
+    (37, 16, 256, 0.0, False),      # no truncation, N not lane-aligned
+    (37, 16, 96, 1e-4, False),      # proportional truncation + early-stop
+    (256, 16, 2048, 1e-4, True),    # lane-aligned N (row_take broadcast)
+                                    # + opaque rays (reset-cumsum numerics)
+])
+def test_composite_compact_matches_dense(N, K, M, T_thresh, opaque):
+    """composite_compact (the staged eval's expansion-free compositor)
+    must equal the dense composite over the expanded slot grid — dropped
+    and truncated slots contribute alpha=0 there, so equality is exact up
+    to f32 rounding of the log-space transmittance."""
+    from dreamfusion_tpu.ops.composite import composite
+    from dreamfusion_tpu.ops.marching import (compact_expand,
+                                              composite_compact,
+                                              make_compact_map)
+
+    key = jax.random.PRNGKey(42)
+    kc, ks, kr, kt = jax.random.split(key, 4)
+    counts = jax.random.randint(kc, (N,), 0, K + 3)    # some exceed K
+    cm = make_compact_map(counts, K, M)
+    Mv = cm.valid_m.shape[0]
+    scale = 40.0 if opaque else 3.0                    # opaque: tau ~ O(1)
+    sigma_c = (jax.random.uniform(ks, (Mv,)) * scale
+               * cm.valid_m.astype(jnp.float32))
+    color_c = jax.random.uniform(kr, (Mv, 3))
+    ts = jnp.sort(jax.random.uniform(kt, (N, K)) * 2.0 + 0.1, axis=1)
+    dts = jnp.diff(ts, axis=1, append=ts[:, -1:] + 0.05)
+    valid = jnp.arange(K)[None, :] < jnp.minimum(counts, K)[:, None]
+
+    # dense oracle through the tested expand path
+    sigma_d = compact_expand(sigma_c, cm.pos, cm.fwd_flat, cm.valid_m) * valid
+    color_d = compact_expand(color_c, cm.pos, cm.fwd_flat, cm.valid_m)
+    dts_d = dts * (valid & (cm.pos < M))
+    ref = composite(sigma_d, color_d, dts_d, ts=ts, T_thresh=T_thresh)
+
+    t_c = jnp.take(ts.reshape(-1), cm.fwd_flat)
+    dt_c = jnp.take(dts.reshape(-1), cm.fwd_flat)
+    rgb, ws, depth, live = composite_compact(
+        sigma_c, color_c, t_c, dt_c, cm, N, T_thresh)
+
+    np.testing.assert_allclose(np.asarray(ws), np.asarray(ref.weights_sum),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref.rgb),
+                               rtol=1e-4, atol=2e-5)
+    # live == #kept samples whose exclusive transmittance clears T_thresh
+    from dreamfusion_tpu.ops.composite import exclusive_cumprod
+    alphas_d = 1.0 - np.exp(-np.asarray(sigma_d) * np.asarray(dts_d))
+    trans_d = np.asarray(exclusive_cumprod(
+        jnp.asarray(1.0 - alphas_d + 1e-15), axis=-1))
+    kept = np.asarray(valid & (cm.pos < M))
+    live_ref = (kept & (trans_d > T_thresh)).sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(live).astype(int), live_ref)
 
 
 def test_compact_expand_vjp_matches_autodiff():

@@ -67,6 +67,15 @@ def test_lower_wide(version):
                jnp.zeros((J,), jnp.int32), jnp.zeros((16, J), jnp.float32))
 
 
+def test_lower_probe_select_small():
+    from dreamfusion_tpu.ops.pallas_probe import probe_select_small
+
+    # pooled 32^3 occupancy at the 800^2 coarse-classify probe count scale
+    _lower_tpu(lambda t, i: probe_select_small(t, i),
+               jnp.zeros((32768,), jnp.uint8),
+               jnp.zeros((2 ** 20,), jnp.int32))
+
+
 def test_lower_composite_fused():
     from dreamfusion_tpu.ops.pallas_composite import composite_fused
 
