@@ -904,16 +904,12 @@ def shade_march(
     compact_out = None
     if compact_M is not None and compact_M < N * K:
         cmap = make_compact_map(march.counts, K, compact_M)
-        # element takes ([M] from [N*K] / [M,3] from [N,3]) run ~3x slower
-        # than the row+one-hot form on TPU (NOTES r3 probe A/B); _flat_take
-        # routes by alignment
-        _flat_take = (lambda v, i: _row_take(v, i)
-                      if v.shape[0] % 128 == 0 else jnp.take(v, i))
-        t_c = _flat_take(march.ts.reshape(-1), cmap.fwd_flat)  # [M]
-        o_c = jnp.stack([_flat_take(rays_o[:, a], cmap.ray_of_m)
-                         for a in range(3)], axis=-1)          # [M, 3]
-        d_c = jnp.stack([_flat_take(rays_d[:, a], cmap.ray_of_m)
-                         for a in range(3)], axis=-1)
+        # plain element takes: the row+one-hot form was tried here (r5) and
+        # measured WORSE for these small-table gathers (the [M, 128]
+        # intermediate costs more than the element gather saves)
+        t_c = jnp.take(march.ts.reshape(-1), cmap.fwd_flat)    # [M]
+        o_c = jnp.take(rays_o, cmap.ray_of_m, axis=0)          # [M, 3]
+        d_c = jnp.take(rays_d, cmap.ray_of_m, axis=0)
         xyz_c = jnp.clip(o_c + d_c * t_c[:, None], -bound, bound)
         sigma_c, color_c, normal_c = fns.field(
             xyz_c, d_c, light_d, ambient_ratio, shading_code)
@@ -921,7 +917,7 @@ def shade_march(
         if compact_composite:
             assert not compute_normal_losses, \
                 "compact_composite is the eval-only fast path"
-            dt_c = _flat_take(march.dts.reshape(-1), cmap.fwd_flat)
+            dt_c = jnp.take(march.dts.reshape(-1), cmap.fwd_flat)
             rgb_s, ws_s, depth_s, live_cc = composite_compact(
                 sigma_c, color_c, t_c, dt_c, cmap, N, T_thresh,
                 use_pallas=pallas_composite)

@@ -28,9 +28,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_CHUNK = 2048            # probes per grid step, presented as [1, 8, _SUB]
+# probes per grid step, presented as [1, 8, _SUB]. 20M probes/frame at
+# chunk 2048 meant ~10k grid steps whose fixed DMA/step cost dominated the
+# kernel (53 ms/frame measured); 8192 cuts the step count 4x while the
+# one-hot block [_SUB, 512] bf16 stays a comfortable 1 MiB.
+_CHUNK = 8192
 _SUB = _CHUNK // 8
-_MAX_ROWS = 512          # table ceiling: [_SUB, 512] bf16 one-hot = 256 KiB
+_MAX_ROWS = 512          # table ceiling (VMEM + MXU cost scale with rows)
 
 
 def _probe_kernel(idx_ref, tab_ref, out_ref):

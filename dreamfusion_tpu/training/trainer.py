@@ -219,7 +219,7 @@ def _pick_K_bucket(q95: float, cap: int) -> int:
 
 
 def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
-                          chunk: int = 65536, group: int = 8192):
+                          chunk: int = 65536, group: Optional[int] = None):
     """Sorted bucketed-K staged eval for the grid renderer — the TPU answer
     to the reference's alive-ray compaction loop (nerf/renderer.py:496-532).
 
@@ -242,6 +242,12 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
     ~15x slower here for identical steady-state, NOTES.md)."""
     from dreamfusion_tpu.ops.composite import near_far_from_aabb
     from dreamfusion_tpu.ops.marching import MarchOut, march_rays, shade_march
+
+    if group is None:
+        # per-shade fixed costs (dispatch issue, kernel grid setup, the
+        # small per-group gathers) are ~3-5 ms each; larger groups
+        # amortize them. DFTPU_EVAL_GROUP A/Bs the size on device.
+        group = int(os.environ.get("DFTPU_EVAL_GROUP", "8192"))
 
     # eval-only bf16 hash-table view (cfg.eval_table_bf16): the shade
     # stage's level gathers are the frame's largest HBM block; the

@@ -210,6 +210,26 @@ def test_oct_path_matches_legacy_corner_gathers():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_oct_col_gather_matches_row(monkeypatch):
+    """DFTPU_OCT_GATHER=col (transposed table, lane-axis gather — the
+    padding-free eval layout) must produce identical encodings to the
+    default row form."""
+    from dreamfusion_tpu.ops import grid_encoder as ge
+
+    spec = ge.GridEncoderSpec(num_levels=6, level_dim=2, base_resolution=8,
+                              per_level_scale=1.6, log2_hashmap_size=11,
+                              gridtype="tiled")
+    key = jax.random.PRNGKey(5)
+    emb = spec.init(key) * 100.0
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (257, 3),
+                           minval=-1, maxval=1)
+    row = spec(emb, x)
+    monkeypatch.setenv("DFTPU_OCT_GATHER", "col")
+    col = spec(emb, x)
+    np.testing.assert_allclose(np.asarray(col), np.asarray(row),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_oct_backward_pallas_interpret_matches_xla():
     """Oct backward through the wide matmul-scatter kernel (interpret mode)
     vs the XLA .at[].add fallback."""
