@@ -392,11 +392,19 @@ def _run(args, remaining):
                       profile_window=(start, start + 6))
         _sync(trainer)
 
+    try:
+        from dreamfusion_tpu.guidance.sd import sds as _sds
+        sd_init_cache = _sds.INIT_CACHE_STATUS
+    except Exception:
+        sd_init_cache = "n/a"
     result = {
         "metric": "sds_iters_per_sec",
         "value": round(it_per_sec, 3),
         "unit": "it/s",
         "vs_baseline": round(it_per_sec / REFERENCE_ITERS_PER_SEC, 3),
+        # a driver run that unexpectedly re-pays the ~10-min eager SD init
+        # must be visible in the artifact (VERDICT r4 weak #1)
+        "sd_init_cache": sd_init_cache,
         # the settled adaptive programs the pinned window measured — A/B
         # logs need these to confirm both arms ran comparable budgets
         "settled_K": getattr(trainer, "_cur_grid_K", cfg.grid_K),

