@@ -249,6 +249,17 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         # amortize them. DFTPU_EVAL_GROUP A/Bs the size on device.
         group = int(os.environ.get("DFTPU_EVAL_GROUP", "8192"))
 
+    # Scatter-assembled frame (DFTPU_EVAL_SCATTER=1): the r5b 800^2 trace
+    # showed the count_sort packed [N,8] permutation gather as the frame's
+    # single largest op (~94 ms/frame — TPU gathers of 8-wide rows run at
+    # element speed). Instead of permuting every ray's payload through the
+    # sort, flagged groups gather o/d/t_lo by SORTED RAY INDEX (group-sized
+    # gathers over ~12% of rays), shade, and scatter results back to
+    # UNSORTED frame buffers — which also deletes the final unsort. The
+    # variadic sort carries (counts, span) alongside the iota payload so
+    # group stats need no post-sort gathers either.
+    scatter_frame = os.environ.get("DFTPU_EVAL_SCATTER", "0") == "1"
+
     # eval-only bf16 hash-table view (cfg.eval_table_bf16): the shade
     # stage's level gathers are the frame's largest HBM block; the
     # reference evals under fp16 autocast, so this is its numeric regime
@@ -310,6 +321,10 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                     light_d=light_d, ambient_ratio=ambient_ratio,
                     shading_code=shading_code, bg_radius=cfg.bg_radius,
                     bg_color=bg, pallas_composite=cfg.pallas_composite)
+                if scatter_frame:     # start is ridx [group]: unsorted paste
+                    return (image.at[start].set(out["image"]),
+                            depth.at[start].set(out["depth"]),
+                            ws.at[start].set(out["weights_sum"]))
                 up = lambda a, b: jax.lax.dynamic_update_slice_in_dim(
                     a, b, start, 0)
                 return (up(image, out["image"]), up(depth, out["depth"]),
@@ -344,6 +359,10 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                     shading_code=shading_code, bg_radius=cfg.bg_radius,
                     bg_color=bg, pallas_composite=cfg.pallas_composite,
                     compact_M=Mb, compact_composite=True)
+                if scatter_frame:     # start is ridx [group]: unsorted paste
+                    return (image.at[start].set(out["image"]),
+                            depth.at[start].set(out["depth"]),
+                            ws.at[start].set(out["weights_sum"]))
                 up = lambda a, b: jax.lax.dynamic_update_slice_in_dim(
                     a, b, start, 0)
                 return (up(image, out["image"]), up(depth, out["depth"]),
@@ -362,7 +381,8 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         if with_bg not in bg_cache:
             @jax.jit
             def bg_only(params, packed_s, bg_color):
-                d = packed_s[:, 3:6]
+                # scatter mode passes the raw (unsorted, padded) directions
+                d = packed_s if scatter_frame else packed_s[:, 3:6]
                 n = d.shape[0]
                 if cfg.bg_radius > 0:
                     fns = make_field_fns(model, params)
@@ -454,6 +474,35 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         return (perm, packed_s,
                 jnp.stack([gmax.astype(jnp.float32), gspan], axis=1))
 
+    @jax.jit
+    def count_perm(occ, o, d):
+        """Scatter-mode classify: sort only the RAY INDEX by (count, span);
+        per-ray payloads stay unsorted (flagged groups gather them by index
+        later). The variadic sort carries counts/span so the group stats
+        need no post-sort gathers."""
+        pad = (-o.shape[0]) % group
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3))], 0)
+            d = jnp.concatenate([d, jnp.ones((pad, 3)) / 3 ** 0.5], 0)
+        nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
+        if pool_factor > 1:
+            grid = pool_occ(occ, pool_factor)
+        else:
+            grid = dilate_occ(occ) if stride > 1 else occ
+        counts, t_lo, t_hi = coarse_hit_window(
+            grid, o, d, nears, fars, bound=cfg.bound,
+            max_steps=cfg.max_steps, stride=stride)
+        span_steps = jnp.ceil((t_hi - t_lo) / dt_lattice) + 2.0
+        key = counts.astype(jnp.float32) * 4096.0 + jnp.minimum(
+            span_steps, 4095.0)
+        iota = jnp.arange(key.shape[0], dtype=jnp.int32)
+        _, perm, counts_s, span_s = jax.lax.sort(
+            (key, iota, counts.astype(jnp.float32), span_steps), num_keys=1)
+        gmax = counts_s.reshape(-1, group).max(axis=1)
+        gspan = span_s.reshape(-1, group).max(axis=1)
+        return (perm, o, d, t_lo,
+                jnp.stack([gmax, gspan], axis=1))
+
     # optical-depth budget for the live estimate: -ln(1e-4) with a 3x
     # log-space safety margin (the sigma EMA is a decayed point sample,
     # not a cell max)
@@ -477,9 +526,23 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                 # slice the group INSIDE the program: an eager
                 # dynamic_slice costs a tunnel dispatch per operand per
                 # group (~10-30 ms issue latency each)
-                p = jax.lax.dynamic_slice_in_dim(packed_s, start, group, 0)
-                o, d = p[:, 0:3], p[:, 3:6]
-                t_lo, t_hi = p[:, 6], p[:, 7]
+                if scatter_frame:
+                    # packed_s = (o_full, d_full, t_lo_full, perm); start
+                    # slices the PERMUTATION, the group's rays are gathered
+                    # by index (group-sized gathers ~12% of frame rays)
+                    o_full, d_full, tlo_full, perm = packed_s
+                    ridx = jax.lax.dynamic_slice_in_dim(perm, start,
+                                                        group, 0)
+                    o = jnp.take(o_full, ridx, axis=0)
+                    d = jnp.take(d_full, ridx, axis=0)
+                    t_lo = jnp.take(tlo_full, ridx)
+                else:
+                    p = jax.lax.dynamic_slice_in_dim(packed_s, start,
+                                                     group, 0)
+                    o, d = p[:, 0:3], p[:, 3:6]
+                    t_lo, t_hi = p[:, 6], p[:, 7]   # t_hi dead (kept so the
+                    # default-mode jaxpr — and its compile-cache key — is
+                    # unchanged by the scatter-mode addition)
                 nears, fars = near_far_from_aabb(o, d, aabb, cfg.min_near)
                 thresh = jnp.minimum(mean_density, cfg.density_thresh)
                 m, sig_est = march_rays_window(
@@ -507,12 +570,22 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                                  counts=live_counts)
                     glive = jnp.max(live_counts)
                     ltot = jnp.sum(live_counts).astype(jnp.float32)
-                return m, o, d, nears, fars, jnp.stack(
+                stats = jnp.stack(
                     [glive.astype(jnp.float32), gcount.astype(jnp.float32),
                      ltot])
+                if scatter_frame:
+                    return m, o, d, nears, fars, ridx, stats
+                return m, o, d, nears, fars, stats
 
             march_cache[S] = march_group
         return march_cache[S]
+
+    @jax.jit
+    def reshape_frame(image, depth, ws):
+        """Scatter-mode finish: buffers are already in ray order."""
+        N = H * W
+        return (image[:N].reshape(H, W, 3), depth[:N].reshape(H, W),
+                ws[:N].reshape(H, W))
 
     @jax.jit
     def unsort(image, depth, ws, perm):
@@ -562,6 +635,8 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             z1 = jnp.zeros((group,))
             zimg = jnp.zeros((Np, 3))
             zdep = jnp.zeros((Np,))
+            zstart = (jnp.zeros((group,), jnp.int32) if scatter_frame
+                      else 0)
             warm = (cfg.eval_warm_buckets if cfg.eval_warm_buckets
                     else (16, 32, 48, 64, 96, 128, 192, 256))
             Kb_ladder = {_pick_K_bucket(float(b), cfg.grid_K) for b in warm}
@@ -571,12 +646,12 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                     # budget; warm the same bucket values as M buckets
                     get_shade_compact(Kb * group, with_bg,
                                       int(shading_code))(
-                        params, zimg, zdep, zdep, 0, zk, zk, zv, zg, zg,
-                        z1, z1, ambient_ratio, light_d, bg)
+                        params, zimg, zdep, zdep, zstart, zk, zk, zv, zg,
+                        zg, z1, z1, ambient_ratio, light_d, bg)
                 else:
                     get_shade(Kb, with_bg, int(shading_code))(
-                        params, zimg, zdep, zdep, 0, zk, zk, zv, zg, zg,
-                        z1, z1, ambient_ratio, light_d, bg)
+                        params, zimg, zdep, zdep, zstart, zk, zk, zv, zg,
+                        zg, z1, z1, ambient_ratio, light_d, bg)
             # march-ladder warm-up (one program per lattice-length bucket;
             # a mid-sequence pose must never hit an uncompiled length).
             # Trimmed warm mode (eval_warm_buckets set) compiles only the
@@ -584,9 +659,13 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             # in the persistent cache.
             warm_S = ([S_ladder[-1]] if cfg.eval_warm_buckets
                       else list(S_ladder))
-            zpk = jnp.concatenate(
-                [jnp.zeros((Np, 3)), jnp.ones((Np, 3)) / 3 ** 0.5,
-                 jnp.zeros((Np, 2))], axis=1)
+            if scatter_frame:
+                zpk = (jnp.zeros((Np, 3)), jnp.ones((Np, 3)) / 3 ** 0.5,
+                       jnp.zeros((Np,)), jnp.zeros((Np,), jnp.int32))
+            else:
+                zpk = jnp.concatenate(
+                    [jnp.zeros((Np, 3)), jnp.ones((Np, 3)) / 3 ** 0.5,
+                     jnp.zeros((Np, 2))], axis=1)
             for S in warm_S:
                 get_march(S)(grid_state.occ, grid_state.density_grid,
                              grid_state.mean_density, zpk, 0)
@@ -594,12 +673,20 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         # 1. one-dispatch coarse classify + sort (bg rays first); ONE
         # transfer brings every group's pooled-probe max count + emit-
         # window span (in lattice steps)
-        perm, packed_s, gstats = count_sort(grid_state.occ, rays_o, rays_d)
+        if scatter_frame:
+            perm, o_pad, d_pad, tlo, gstats = count_perm(
+                grid_state.occ, rays_o, rays_d)
+            packed_s = (o_pad, d_pad, tlo, perm)   # march gathers by index
+            bg_in = d_pad                          # frame buffers UNSORTED
+        else:
+            perm, packed_s, gstats = count_sort(grid_state.occ, rays_o,
+                                                rays_d)
+            bg_in = packed_s
         gstats_host = np.asarray(gstats)           # [n_groups, (max, span)]
 
         # 2. background for the whole frame in one dispatch (cheap: bg net
         # on directions only); shaded tail groups overwrite it
-        out_bg = get_bg_only(with_bg)(params, packed_s, bg)
+        out_bg = get_bg_only(with_bg)(params, bg_in, bg)
         image, depth, ws = (out_bg["image"], out_bg["depth"],
                             out_bg["weights_sum"])
 
@@ -614,16 +701,22 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             start = Np - (seg + 1) * group         # static size, traced start
             span = float(gstats_host[g, 1])
             S_full = next((s for s in S_ladder if s >= span), S_ladder[-1])
-            m, o_g, d_g, nears_g, fars_g, stats = get_march(S_full)(
+            got = get_march(S_full)(
                 grid_state.occ, grid_state.density_grid,
                 grid_state.mean_density, packed_s, start)
-            marched.append([start, o_g, d_g, m, nears_g, fars_g, stats])
+            if scatter_frame:
+                m, o_g, d_g, nears_g, fars_g, ridx, stats = got
+                marched.append([ridx, o_g, d_g, m, nears_g, fars_g, stats])
+            else:
+                m, o_g, d_g, nears_g, fars_g, stats = got
+                marched.append([start, o_g, d_g, m, nears_g, fars_g, stats])
 
         if marched:
             stats_host = np.asarray(jnp.stack([t[6] for t in marched]))
             # 4. shade each flagged group at its live bucket (exact march
             # counts capped by the transmittance-live estimate), pasting
-            # into the frame buffers inside the same dispatch
+            # into the frame buffers inside the same dispatch (scatter
+            # mode pastes by ray index into the unsorted buffers)
             for (start, o_g, d_g, m, nears_g, fars_g, *_), \
                     (glive, gcount, ltot) in zip(marched, stats_host):
                 if gcount == 0.0:
@@ -648,7 +741,10 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                         m.valid, o_g, d_g, nears_g, fars_g, ambient_ratio,
                         light_d, bg)
 
-        image, depth, ws = unsort(image, depth, ws, perm)  # 5. one dispatch
+        if scatter_frame:                  # buffers are already unsorted
+            image, depth, ws = reshape_frame(image, depth, ws)
+        else:
+            image, depth, ws = unsort(image, depth, ws, perm)  # 5. one
         return {"image": image, "depth": depth, "weights_sum": ws}
 
     def _render_full(params, rays_o, rays_d, grid_state, shading_code,
@@ -679,9 +775,9 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             start = g * group
             maxc = int(gmax_host[g])
             if maxc == 0:
-                dpk = jnp.concatenate(       # bg_only reads cols 3:6 (d)
-                    [jnp.zeros((group, 3)), d_s[sl],
-                     jnp.zeros((group, 2))], axis=1)
+                dpk = (d_s[sl] if scatter_frame else jnp.concatenate(
+                    [jnp.zeros((group, 3)), d_s[sl],    # bg_only reads
+                     jnp.zeros((group, 2))], axis=1))   # cols 3:6 (d)
                 out = get_bg_only(with_bg)(params, dpk, bg)
                 image, depth, ws = paste(image, depth, ws, out["image"],
                                          out["depth"], out["weights_sum"],

@@ -291,6 +291,60 @@ def test_staged_eval_matches_direct_render_grid(tmp_path, tables):
 
 
 @pytest.mark.slow
+def test_staged_eval_scatter_mode_matches_direct(tmp_path, monkeypatch):
+    """DFTPU_EVAL_SCATTER=1 (r5b): flagged groups gather their rays by
+    sorted index and scatter shaded results into UNSORTED frame buffers
+    (no full-frame payload permute, no unsort). Must equal the direct
+    full-K render exactly — same compositing, different assembly."""
+    import numpy as np
+
+    from dreamfusion_tpu import cameras
+    from dreamfusion_tpu.models import build_model
+    from dreamfusion_tpu.models.networks import make_field_fns
+    from dreamfusion_tpu.ops.marching import (init_grid_state,
+                                              make_update_extra_state,
+                                              render_grid)
+    from dreamfusion_tpu.training.trainer import make_staged_grid_eval
+
+    monkeypatch.setenv("DFTPU_EVAL_SCATTER", "1")
+    H = W = 16
+    cfg = _tiny_cfg(tmp_path, guidance="none").replace(
+        backbone="grid", grid_ray=True, grid_size=32, max_steps=64,
+        grid_K=32, H=H, W=W, eval_table_bf16=False,
+        eval_warm_buckets=(32,)).finalize()
+    model = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)) / 3 ** 0.5,
+                        method=model.init_all)
+    gs = init_grid_state(cfg.cascade, cfg.grid_size, cfg.density_thresh)
+    gs = make_update_extra_state(cfg, model)(params, gs, key)
+
+    batch = cameras.sample_test_batch(jnp.array([0]), 10, cfg, H=H, W=W)
+    rays_o, rays_d = batch["rays_o"][0], batch["rays_d"][0]
+    light_d = cameras.safe_normalize(rays_o[0])
+
+    fns = make_field_fns(model, params)._replace(normal=None)
+    ref = render_grid(jax.random.PRNGKey(0), fns, gs, rays_o, rays_d,
+                      bound=cfg.bound, min_near=cfg.min_near,
+                      max_steps=cfg.max_steps, K=cfg.grid_K,
+                      bg_radius=cfg.bg_radius, light_d=light_d,
+                      perturb=False)
+
+    staged = make_staged_grid_eval(cfg, model, H, W, chunk=64, group=32)
+    out = staged(params, rays_o, rays_d, gs, light_d=light_d)
+
+    np.testing.assert_allclose(np.asarray(out["image"]).reshape(-1, 3),
+                               np.asarray(ref["image"]), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["weights_sum"]).reshape(-1),
+                               np.asarray(ref["weights_sum"]), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["depth"]).reshape(-1),
+                               np.asarray(ref["depth"]), rtol=1e-4,
+                               atol=1e-5)
+
+
+@pytest.mark.slow
 def test_staged_eval_fallback_dtgamma(tmp_path):
     """dt_gamma > 0 routes the staged eval through the march-everything
     fallback (_render_full); it must still match a direct render_grid."""
