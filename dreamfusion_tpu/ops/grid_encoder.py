@@ -93,8 +93,7 @@ def _use_pallas_scatter(level_dim: int,
 @functools.lru_cache(maxsize=None)
 def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
                             corner_offs: Tuple[Tuple[int, ...], ...],
-                            scatter_impl: Optional[str] = None,
-                            oct_gather: str = "row"):
+                            scatter_impl: Optional[str] = None):
     """Oct-table encode for affine-mod levels (tiled gridtype): corner c of
     a sample at base index b lives at (b + off_c) % size with off_c STATIC
     per level, so all 8 corners collapse into ONE row gather of a
@@ -117,22 +116,12 @@ def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
         n_c = len(corner_offs[0])
         outs = []
         for lvl in range(L):
-            if oct_gather == "col":
-                # transposed table + lane-axis gather: the output [8C, B]
-                # keeps B on the 128-lane axis, so the per-sample payload
-                # is 8C values with NO tile padding — the row form's
-                # [B, 8C] output pads 8C=16 lanes to 128 (8x the bytes;
-                # measured the largest block of the staged-eval frame)
-                octT = _oct_table_t(emb, lvl)                # [8C, size]
-                valsT = jnp.take(octT, base_all[lvl], axis=1)  # [8C, B]
-                chans = []
-                for j in range(C):
-                    vj = jax.lax.slice(
-                        valsT, (j, 0), (n_c * C, valsT.shape[1]),
-                        (C, 1)).astype(jnp.float32)          # [8, B]
-                    chans.append(jnp.sum(vj * w_all[lvl], axis=0))
-                outs.append(jnp.stack(chans, axis=-1))       # [B, C]
-                continue
+            # (A transposed-table lane-axis gather variant, DFTPU_OCT_GATHER
+            # =col, was built and measured r5b: 1.5068 vs 1.5193 FPS at
+            # 800^2 with BYTE-IDENTICAL device op timings — XLA's layout
+            # assignment already materializes this gather output dim0-minor
+            # (B on lanes), so the hand-transposed form is a no-op at the
+            # optimized-HLO level. Lever removed.)
             oct = _oct_table(emb, lvl)                       # [size, 8C]
             vals = jnp.take(oct, base_all[lvl], axis=0)      # [B, 8C]
             # blend WITHOUT reshaping [B, 8C] -> [B, 8, C]: strided lane
@@ -151,14 +140,6 @@ def _make_encode_levels_oct(sizes: Tuple[int, ...], offsets: Tuple[int, ...],
         emb_l = jax.lax.slice(emb, (off, 0), (off + size, emb.shape[1]))
         return jnp.concatenate(
             [jnp.roll(emb_l, -o, axis=0) for o in corner_offs[lvl]], axis=1)
-
-    def _oct_table_t(emb, lvl):
-        """Transposed oct table [8C, size] built directly from rolls of
-        emb.T (no [size, 8C] intermediate)."""
-        size, off = sizes[lvl], offsets[lvl]
-        emb_t = jax.lax.slice(emb, (off, 0), (off + size, emb.shape[1])).T
-        return jnp.concatenate(
-            [jnp.roll(emb_t, -o, axis=1) for o in corner_offs[lvl]], axis=0)
 
     def _fwd(emb, base_all, w_all):
         return _encode_oct(emb, base_all, w_all), (emb, base_all, w_all)
@@ -531,8 +512,7 @@ class GridEncoderSpec:
             out = jnp.concatenate(outs, axis=-1)     # [B, L*C]
         elif use_oct:
             encode = _make_encode_levels_oct(
-                tuple(sizes), tuple(offsets), corner_offs, self.scatter_impl,
-                os.environ.get("DFTPU_OCT_GATHER", "row"))
+                tuple(sizes), tuple(offsets), corner_offs, self.scatter_impl)
             out = encode(embeddings, jnp.stack(base_levels),
                          jnp.stack(w_levels))        # [B, L, C]
             out = out.reshape(out.shape[0], -1)

@@ -169,11 +169,12 @@ STAGES = {
     # at activation scale; stats stay f32 — see layers.GN_DTYPE).
     "s7b_vae_gnbf16": ([PY, "scripts/mb_sd_vae.py"], 1200,
                        {"DFTPU_GN_DTYPE": "bf16"}),
-    # oct-gather col-vs-row A/B for the staged-eval shade (commit 635eeb0:
-    # the transposed table's [8C, B] output carries no tile padding).
-    "e2_eval_col": ([PY, "scripts/profile_eval.py", "--ball", "--H", "800",
-                     "--out", os.path.join(STATE_DIR, "trace_eval800_col")],
-                    2400, {"DFTPU_OCT_GATHER": "col"}),
+    # scatter-assembled frame A/B (r5b: no full-frame payload permute,
+    # no unsort; flagged groups gather by sorted ray index).
+    "e5_eval_scatter": ([PY, "scripts/profile_eval.py", "--ball", "--H",
+                         "800", "--out",
+                         os.path.join(STATE_DIR, "trace_eval800_scatter")],
+                        2400, {"DFTPU_EVAL_SCATTER": "1"}),
     # shade/march group-size A/B: larger groups cut per-frame dispatch
     # count (~2 per flagged group) at the cost of coarser bucket ladders.
     "e3_eval_g16k": ([PY, "scripts/profile_eval.py", "--ball", "--H", "800",
@@ -194,7 +195,7 @@ STAGES = {
 # (long deadline absorbs the cold compiles), then the eval A/Bs decide the
 # two 635eeb0 levers, then the three stale train levers get their one
 # settled-cache measurement each (VERDICT r4 next #4: flip or delete).
-STAGE_ORDER = ["s1_bench", "s6_eval800", "e2_eval_col", "e3_eval_g16k",
+STAGE_ORDER = ["s1_bench", "s6_eval800", "e5_eval_scatter", "e3_eval_g16k",
                "e4_eval_g32k", "s7_vae", "s7b_vae_gnbf16", "s4_attn",
                "s3_bf16tab", "s5_train_trace", "s2_nocompact"]
 
