@@ -43,6 +43,11 @@ def main():
                          "with random guidance this opacifies EVERYWHERE "
                          "(occ -> 1.0, the worst case); --ball builds the "
                          "trained-scene work shape instead")
+    ap.add_argument("--no_table_bf16", action="store_true",
+                    help="A/B: shade with f32 hash tables (eval_table_bf16 "
+                         "defaulted on in d792e96 without a device A/B; "
+                         "bf16's (2,1) sublane packing may slow the row "
+                         "gathers that dominate the shade stage)")
     ap.add_argument("--ball", action="store_true",
                     help="overwrite the grid state with an analytic "
                          "opaque ball (r=0.4, sigma=150): occupancy, emit "
@@ -65,6 +70,7 @@ def main():
                  dir_text=True, fp16=True, max_steps=512, grid_K=128,
                  grid_size=128, lambda_orient=0.0,
                  lambda_opacity=(-1.0 if args.opacify else 0.0),
+                 eval_table_bf16=not args.no_table_bf16,
                  workspace=ws).finalize()
     trainer = Trainer("prof", cfg, use_checkpoint="scratch")
     trainer.train(max_steps=args.warm_steps, log_interval=10 ** 9,
