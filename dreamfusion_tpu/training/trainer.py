@@ -260,6 +260,15 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
     # group stats need no post-sort gathers either.
     scatter_frame = os.environ.get("DFTPU_EVAL_SCATTER", "0") == "1"
 
+    # DFTPU_EVAL_TIMING=1: sync (one scalar D2H) after every stage of the
+    # frame and print per-stage walls. The device trace's per-op durations
+    # carry a ~18 ms quantum even on constants (r5b: a [1,4,4] constant
+    # fusion "took" 18.2 ms) while standalone microbenches run the same
+    # gathers 25x faster — synced walls are the only trustworthy per-stage
+    # attribution over this tunnel. Syncing serializes the pipeline, so
+    # fps WITH timing on is not a result; use it only to rank stages.
+    stage_timing = os.environ.get("DFTPU_EVAL_TIMING", "0") == "1"
+
     # eval-only bf16 hash-table view (cfg.eval_table_bf16): the shade
     # stage's level gathers are the frame's largest HBM block; the
     # reference evals under fp16 autocast, so this is its numeric regime
@@ -670,6 +679,19 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                 get_march(S)(grid_state.occ, grid_state.density_grid,
                              grid_state.mean_density, zpk, 0)
 
+        if stage_timing:
+            import time as _time
+            _tw = [_time.perf_counter()]
+            _tlog: Dict[str, float] = {}
+
+            def _tick(name, arr):
+                _ = float(jnp.sum(arr))          # drain the dispatch queue
+                now = _time.perf_counter()
+                _tlog[name] = _tlog.get(name, 0.0) + (now - _tw[0])
+                _tw[0] = now
+        else:
+            _tick = None
+
         # 1. one-dispatch coarse classify + sort (bg rays first); ONE
         # transfer brings every group's pooled-probe max count + emit-
         # window span (in lattice steps)
@@ -683,12 +705,16 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                                                 rays_d)
             bg_in = packed_s
         gstats_host = np.asarray(gstats)           # [n_groups, (max, span)]
+        if _tick:
+            _tick("classify", gstats)
 
         # 2. background for the whole frame in one dispatch (cheap: bg net
         # on directions only); shaded tail groups overwrite it
         out_bg = get_bg_only(with_bg)(params, bg_in, bg)
         image, depth, ws = (out_bg["image"], out_bg["depth"],
                             out_bg["weights_sum"])
+        if _tick:
+            _tick("bg", ws)
 
         # 3. queue the march for EVERY flagged group (at the lattice-length
         # bucket its emit window dictates), then fetch all shade-bucket
@@ -711,8 +737,12 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                 m, o_g, d_g, nears_g, fars_g, stats = got
                 marched.append([start, o_g, d_g, m, nears_g, fars_g, stats])
 
+        if marched and _tick:
+            _tick("march", marched[-1][3].ts)
         if marched:
             stats_host = np.asarray(jnp.stack([t[6] for t in marched]))
+            if _tick:
+                _tick("march_stats", gstats)
             # 4. shade each flagged group at its live bucket (exact march
             # counts capped by the transmittance-live estimate), pasting
             # into the frame buffers inside the same dispatch (scatter
@@ -733,6 +763,8 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                         params, image, depth, ws, start, m.ts, m.dts,
                         m.valid, o_g, d_g, nears_g, fars_g, ambient_ratio,
                         light_d, bg)
+                    if _tick:
+                        _tick(f"shade_M{mb}", ws)
                 else:
                     Kb = _pick_K_bucket(float(max(glive, 1.0)), cfg.grid_K)
                     image, depth, ws = get_shade(Kb, with_bg,
@@ -740,11 +772,18 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                         params, image, depth, ws, start, m.ts, m.dts,
                         m.valid, o_g, d_g, nears_g, fars_g, ambient_ratio,
                         light_d, bg)
+                    if _tick:
+                        _tick(f"shade_K{Kb}", ws)
 
         if scatter_frame:                  # buffers are already unsorted
             image, depth, ws = reshape_frame(image, depth, ws)
         else:
             image, depth, ws = unsort(image, depth, ws, perm)  # 5. one
+        if _tick:
+            _tick("finish", ws)
+            print("# eval stage walls (ms): " + json.dumps(
+                {k: round(v * 1e3, 1) for k, v in _tlog.items()}),
+                flush=True)
         return {"image": image, "depth": depth, "weights_sum": ws}
 
     def _render_full(params, rays_o, rays_d, grid_state, shading_code,
