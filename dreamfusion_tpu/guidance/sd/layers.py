@@ -29,16 +29,18 @@ import jax.numpy as jnp
 
 # Output dtype of the normalized activations. Stats are ALWAYS f32; this
 # only controls the dtype the [B,H,W,C] result is materialized in before
-# the consumer (silu -> conv). "f32" (default) matches flax nn.GroupNorm
-# exactly; "bf16" halves the HBM bytes of every norm output at activation
-# scale (134 MB per 512^2x128 norm in the VAE encoder) and matches torch
-# AMP's fp16 silu more closely than f32 does. A/B via DFTPU_GN_DTYPE;
-# flip by measurement (scripts/mb_sd_vae.py, autopilot s7).
+# the consumer (silu -> conv). "bf16" (default since r5b) halves the HBM
+# bytes of every norm output at activation scale (134 MB per 512^2x128
+# norm in the VAE encoder) and matches torch AMP's fp16 silu regime
+# (reference trains the whole guidance under autocast, nerf/sd.py);
+# measured 44.5 vs 57.5 ms for the VAE encode fwd+bwd at 512^2 (-23%,
+# 69 TFLOP/s, autopilot s7b 2026-08-21). "f32" matches flax nn.GroupNorm
+# bit-exactly (the oracle tests pin it).
 # NOTE: read ONCE at import time — setting the env var after this module
 # is imported (or mid-process) has no effect, and already-jitted programs
 # never retrace on a flip. A/B runs must set it in a fresh subprocess
 # (the autopilot per-stage env pattern).
-GN_DTYPE = os.environ.get("DFTPU_GN_DTYPE", "f32")
+GN_DTYPE = os.environ.get("DFTPU_GN_DTYPE", "bf16")
 
 
 class TPUGroupNorm(nn.Module):

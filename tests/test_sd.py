@@ -272,15 +272,19 @@ def test_pndm_full_sampler_recovers_x0_with_exact_eps():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=5e-3)
 
 
-def test_tpu_group_norm_matches_flax():
+def test_tpu_group_norm_matches_flax(monkeypatch):
     """TPUGroupNorm: identical statistics to nn.GroupNorm without the
     [..., G, C//G] reshape whose tiny trailing dim pads to the 128-lane
-    tile (bench trace r3: ~7.5 ms/step of pad kernels at SD sizes)."""
+    tile (bench trace r3: ~7.5 ms/step of pad kernels at SD sizes).
+    Pins the f32 output mode — the production default is bf16 (measured
+    -23% on the VAE encode, s7b r5b), covered by the bf16 test below."""
     import flax.core
     import flax.linen as nn
 
+    from dreamfusion_tpu.guidance.sd import layers
     from dreamfusion_tpu.guidance.sd.layers import TPUGroupNorm
 
+    monkeypatch.setattr(layers, "GN_DTYPE", "f32")
     k = jax.random.PRNGKey(0)
     for shape, g in (((2, 8, 8, 64), 32), ((2, 16, 128), 32),
                      ((1, 4, 4, 8), 4)):
@@ -336,6 +340,7 @@ def test_tpu_group_norm_bf16_output_mode(monkeypatch):
     variables = flax.core.freeze({"params": {
         "scale": jax.random.normal(jax.random.fold_in(k, 1), (64,)),
         "bias": jax.random.normal(jax.random.fold_in(k, 2), (64,))}})
+    monkeypatch.setattr(layers, "GN_DTYPE", "f32")
     ref = layers.TPUGroupNorm(32, epsilon=1e-6).apply(variables, x)
     assert ref.dtype == jnp.float32
     monkeypatch.setattr(layers, "GN_DTYPE", "bf16")
