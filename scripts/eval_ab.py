@@ -28,10 +28,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 CONFIGS = {
     "base": {},
     "scatter": {"DFTPU_EVAL_SCATTER": "1"},
+    "g2048": {"DFTPU_EVAL_GROUP": "2048"},
     "g4096": {"DFTPU_EVAL_GROUP": "4096"},
     "g16384": {"DFTPU_EVAL_GROUP": "16384"},
+    "g4096_scatter": {"DFTPU_EVAL_GROUP": "4096", "DFTPU_EVAL_SCATTER": "1"},
     "timing": {"DFTPU_EVAL_TIMING": "1"},
     "timing_scatter": {"DFTPU_EVAL_TIMING": "1", "DFTPU_EVAL_SCATTER": "1"},
+    "timing_g4096": {"DFTPU_EVAL_TIMING": "1", "DFTPU_EVAL_GROUP": "4096"},
     "f32tab": {"_f32tab": "1"},       # cfg flag, not env
 }
 
