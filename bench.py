@@ -232,9 +232,6 @@ def main():
                          "compile stays CI-fast; --tiny_sd adds a nano SDS "
                          "UNet/VAE to the loss instead")
     ap.add_argument("--tiny_sd", action="store_true")
-    ap.add_argument("--grid_table_bf16", action="store_true",
-                    help="A/B the bf16 hash-table view (halves encoder "
-                         "gather/scatter HBM traffic; VERDICT r2 weak #3)")
     ap.add_argument("--no_grid_compact", action="store_true",
                     help="A/B switch: disable sample compaction (the "
                          "bucketed global-M field-query budget) to isolate "
@@ -292,7 +289,6 @@ def _run(args, remaining):
                  guidance=guidance, sd_weights=args.sd_weights,
                  backbone="grid", grid_ray=True, iters=10000,
                  dir_text=True, fp16=True,
-                 grid_table_bf16=args.grid_table_bf16,
                  grid_compact=not args.no_grid_compact,
                  lambda_orient=0.0, workspace=ws,
                  # trimmed first-frame warm ladder: covers the buckets the

@@ -56,13 +56,19 @@ class Config:
     # v5e, max output diff 1.7e-5), jnp cumprod elsewhere (the interpret-
     # mode kernel would slow CPU runs ~10x).
     pallas_composite: Optional[bool] = None
-    grid_table_bf16: bool = False       # bf16 hash-table gathers (HBM lever)
+    # (--grid_table_bf16, the TRAIN-path bf16 hash-table lever, was removed
+    # r5b after five failed measurement slots across rounds 2-5: its step
+    # program alone compiles >25 min remotely, and its only surviving
+    # evidence — the compile-safe provisional window, 5.372 vs 5.729 it/s —
+    # shows a regression. The model capability (table_bf16) stays: the
+    # staged eval's bf16 view below uses it, measured +7.5% FPS.)
+    #
     # staged-EVAL-only bf16 hash-table view: halves the bytes of the shade
-    # stage's level gathers (~23% of the 800^2 frame, r4 trace) without
-    # touching the train step. Parity note: the reference renders eval
-    # frames under torch.cuda.amp fp16 (utils.py eval loop), so bf16
-    # eval features are the reference's own numeric regime, not a loosened
-    # one. Train-path tables stay governed by grid_table_bf16.
+    # stage's level gathers without touching the train step. Measured
+    # (r5b, 800^2 ball): 1.5193 FPS bf16 vs 1.4126 f32. Parity note: the
+    # reference renders eval frames under torch.cuda.amp fp16 (utils.py
+    # eval loop), so bf16 eval features are the reference's own numeric
+    # regime, not a loosened one.
     eval_table_bf16: bool = True
     # adaptive-K bucket source: 'count' = 95th-pct marching count (the
     # mean_count budget analog); 'live' = 95th-pct TRANSMITTANCE-live count
@@ -219,8 +225,6 @@ def build_argparser() -> argparse.ArgumentParser:
                    action="store_true", default=defaults.pallas_composite)
     p.add_argument("--no_pallas_composite", dest="pallas_composite",
                    action="store_false")
-    p.add_argument("--grid_table_bf16", action="store_true",
-                   default=defaults.grid_table_bf16)
     p.add_argument("--no_eval_table_bf16", dest="eval_table_bf16",
                    action="store_false", default=defaults.eval_table_bf16)
     p.add_argument("--no_grid_compact", dest="grid_compact",

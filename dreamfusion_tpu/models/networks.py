@@ -195,8 +195,10 @@ class NeRFGridNetwork(_BaseNeRF):
             # the trilinear blend accumulates in f32 (the CUDA reference
             # gathers/scatters the table in fp16 under AMP,
             # gridencoder/grid.py:38-39). Costs ~3% relative L2 noise on
-            # table grads through trunc_exp; opt-in via --grid_table_bf16
-            # until measured to win on the target TPU.
+            # table grads through trunc_exp. Train-path tables stay f32
+            # (the opt-in train lever was removed r5b, unmeasurable +
+            # provisional regression); the staged EVAL's bf16 view
+            # (cfg.eval_table_bf16, measured +7.5% FPS) is the user.
             emb = emb.astype(jnp.bfloat16)
         return self.enc_spec(emb, x, bound=self.bound)
 
@@ -281,9 +283,7 @@ def build_model(cfg) -> _BaseNeRF:
     dtype = jnp.bfloat16 if cfg.fp16 else jnp.float32
     if cfg.backbone == "grid":
         return NeRFGridNetwork(bound=cfg.bound, bg_radius=cfg.bg_radius,
-                               compute_dtype=dtype,
-                               table_bf16=getattr(cfg, "grid_table_bf16",
-                                                  False))
+                               compute_dtype=dtype)
     if cfg.backbone == "vanilla":
         return NeRFVanillaNetwork(bound=cfg.bound, bg_radius=cfg.bg_radius,
                                   compute_dtype=dtype)

@@ -149,12 +149,12 @@ STAGES = {
     # compaction A/B (VERDICT r3 next #2): default-on vs off.
     "s2_nocompact": ([PY, "bench.py", "--skip_eval", "--no_grid_compact",
                       "--deadline", "1500"], 1700, None),
-    # bf16 hash-table A/B (stale two rounds, VERDICT r3 next #4).
-    "s3_bf16tab": ([PY, "bench.py", "--grid_table_bf16", "--skip_eval",
-                    "--deadline", "1500"], 1700, None),
-    # attention impl A/B (flash default; isolate vs einsum).
-    "s4_attn": ([PY, "bench.py", "--skip_eval", "--deadline", "1500"], 1700,
-                {"DFTPU_ATTN_IMPL": "einsum"}),
+    # (s3_bf16tab RETIRED r5b: the --grid_table_bf16 train lever was
+    # removed after five failed slots — its step compiles >25 min remotely
+    # and the provisional window showed a regression, 5.372 vs 5.729.)
+    # (s4_attn RETIRED r5b: 3rd watchdog; einsum provisional 5.729 ==
+    # parity with flash's measured 5.818 — flash stays default, the env
+    # switch stays as the CPU-compat path, not a lever.)
     # train trace on the settled programs (scatter-copy + next levers).
     "s5_train_trace": ([PY, "bench.py", "--skip_eval", "--profile",
                         os.path.join(STATE_DIR, "prof_train"),
@@ -196,8 +196,8 @@ STAGES = {
 # two 635eeb0 levers, then the three stale train levers get their one
 # settled-cache measurement each (VERDICT r4 next #4: flip or delete).
 STAGE_ORDER = ["s1_bench", "s6_eval800", "e5_eval_scatter", "e3_eval_g16k",
-               "e4_eval_g32k", "s7_vae", "s7b_vae_gnbf16", "s4_attn",
-               "s3_bf16tab", "s5_train_trace", "s2_nocompact"]
+               "e4_eval_g32k", "s7_vae", "s7b_vae_gnbf16",
+               "s5_train_trace", "s2_nocompact"]
 
 
 # Paths whose content determines the measured programs. NOTES.md / docs /

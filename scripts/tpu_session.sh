@@ -27,9 +27,9 @@ esac
 if [ "$1" = 7 ]; then
   timeout 1200 python scripts/mb_sd_vae.py 2>&1 | tee /tmp/mb_sd_vae.log
 fi
-# stage 8: bf16 hash-table A/B (VERDICT weak #3 — unmeasured flag)
+# stage 8: RETIRED r5b (--grid_table_bf16 removed)
 if [ "$1" = 8 ]; then
-  timeout 1200 python bench.py --grid_table_bf16 --skip_eval 2>&1 | tee /tmp/bench_r3_bf16tab.log
+  echo "retired"
 fi
 # stage 9: attention impl A/B (flash is the new TPU default; isolate its effect)
 if [ "$1" = 9 ]; then
