@@ -140,6 +140,41 @@ def main():
     timed("composite_compact_M48", composite_only, ts, dts, valid,
           sigma_seed)
 
+    # -- in-frame shape: alternate programs + fresh operands ---------------
+    # The frame issues march, shade, march, shade... with different buffers
+    # each time; the chained single-program loop above may amortize a
+    # per-dispatch or program-switch cost the frame pays in full. Cycle 4
+    # distinct input sets through shade alternated with density calls.
+    inputs = []
+    for i in range(4):
+        ki = jax.random.fold_in(key, 100 + i)
+        ci = jnp.clip(jax.random.poisson(ki, MEAN_COUNT, (GROUP,)), 1, K)
+        vi = slots < ci[:, None]
+        tsi = nears[:, None] + jnp.cumsum(
+            jnp.full((GROUP, K), 0.007), axis=1) * vi
+        dtsi = jnp.full((GROUP, K), 0.007) * vi
+        di = jax.random.normal(ki, (GROUP, 3))
+        di = di / jnp.linalg.norm(di, axis=-1, keepdims=True)
+        inputs.append((tsi, dtsi, vi, di))
+
+    def alternating():
+        outs = []
+        for tsi, dtsi, vi, di in inputs:
+            outs.append(full(params, tsi, dtsi, vi, o, di, nears, fars))
+            outs.append(density_only(params, x_c))
+        return outs[-1]
+
+    out = alternating()
+    _ = float(jnp.sum(out))
+    t0 = time.perf_counter()
+    reps = max(ITERS // 4, 1)
+    for _i in range(reps):
+        out = alternating()
+    _ = float(jnp.sum(out))
+    per_pair = (time.perf_counter() - t0) / (reps * 4)
+    print(json.dumps({"bench": "alternate_shade_plus_density",
+                      "ms_per_pair": round(per_pair * 1e3, 2)}), flush=True)
+
 
 if __name__ == "__main__":
     main()
