@@ -244,21 +244,22 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
     from dreamfusion_tpu.ops.marching import MarchOut, march_rays, shade_march
 
     if group is None:
-        # per-shade fixed costs (dispatch issue, kernel grid setup, the
-        # small per-group gathers) are ~3-5 ms each; larger groups
-        # amortize them. DFTPU_EVAL_GROUP A/Bs the size on device.
-        group = int(os.environ.get("DFTPU_EVAL_GROUP", "8192"))
+        # group-size ladder measured r5b at 800^2 (same tree, in-process):
+        # 2048 -> 1.465, 4096 -> 1.587, 8192 -> 1.548, 16384 -> 1.410,
+        # 32768 -> 1.341 FPS. Tighter span/live buckets beat per-dispatch
+        # overhead down to 4096 (standalone alternation probe: program
+        # switching costs ~0); 4096 is the measured optimum.
+        group = int(os.environ.get("DFTPU_EVAL_GROUP", "4096"))
 
-    # Scatter-assembled frame (DFTPU_EVAL_SCATTER=1): the r5b 800^2 trace
-    # showed the count_sort packed [N,8] permutation gather as the frame's
-    # single largest op (~94 ms/frame — TPU gathers of 8-wide rows run at
-    # element speed). Instead of permuting every ray's payload through the
-    # sort, flagged groups gather o/d/t_lo by SORTED RAY INDEX (group-sized
-    # gathers over ~12% of rays), shade, and scatter results back to
-    # UNSORTED frame buffers — which also deletes the final unsort. The
-    # variadic sort carries (counts, span) alongside the iota payload so
-    # group stats need no post-sort gathers either.
-    scatter_frame = os.environ.get("DFTPU_EVAL_SCATTER", "0") == "1"
+    # Scatter-assembled frame (default on, r5b): instead of permuting every
+    # ray's payload through the sort, flagged groups gather o/d/t_lo by
+    # SORTED RAY INDEX (group-sized gathers over the ~12% flagged rays),
+    # shade, and scatter results back to UNSORTED frame buffers — which
+    # also deletes the final unsort. The variadic sort carries (counts,
+    # span) alongside the iota payload so group stats need no post-sort
+    # gathers either. Measured (800^2 ball, in-process same-tree A/B):
+    # 1.572 vs 1.548 FPS at group 8192; 1.643 vs 1.587 at group 4096.
+    scatter_frame = os.environ.get("DFTPU_EVAL_SCATTER", "1") == "1"
 
     # DFTPU_EVAL_TIMING=1: sync (one scalar D2H) after every stage of the
     # frame and print per-stage walls. The device trace's per-op durations
@@ -302,7 +303,8 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
 
     shade_cache: Dict[Any, Any] = {}
 
-    def get_shade(Kb: int, with_bg: bool, shading_code: int = 0):
+    def get_shade(Kb: int, with_bg: bool, shading_code: int = 0,
+                  slice_paste: bool = False):
         """Shade one sorted ray group AND paste it into the frame buffers
         in the same program — over the axon tunnel each dispatch costs
         ~10-30 ms of issue latency, and the r3 eval trace showed ~half the
@@ -315,7 +317,11 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         ships normals code (r3 eval trace: the cond was the largest single
         op container). Eval renders one shading mode per frame; GUI mode
         switches compile on demand and land in the persistent cache."""
-        key = (Kb, with_bg, shading_code)
+        # the dt_gamma fallback (_render_full) pastes by slice into SORTED
+        # buffers even when the scatter frame is the default — it passes
+        # slice_paste=True; the key separates the two paste forms
+        scatter = scatter_frame and not slice_paste
+        key = (Kb, with_bg, shading_code, scatter)
         if key not in shade_cache:
             @jax.jit
             def shade(params, image, depth, ws, start, ts, dts, valid,
@@ -330,7 +336,7 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
                     light_d=light_d, ambient_ratio=ambient_ratio,
                     shading_code=shading_code, bg_radius=cfg.bg_radius,
                     bg_color=bg, pallas_composite=cfg.pallas_composite)
-                if scatter_frame:     # start is ridx [group]: unsorted paste
+                if scatter:           # start is ridx [group]: unsorted paste
                     return (image.at[start].set(out["image"]),
                             depth.at[start].set(out["depth"]),
                             ws.at[start].set(out["weights_sum"]))
@@ -512,10 +518,18 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
         return (perm, o, d, t_lo,
                 jnp.stack([gmax, gspan], axis=1))
 
-    # optical-depth budget for the live estimate: -ln(1e-4) with a 3x
+    # optical-depth budget for the live estimate: -ln(1e-4) with a
     # log-space safety margin (the sigma EMA is a decayed point sample,
-    # not a cell max)
-    _LIVE_LOGT = 3.0 * 9.2103
+    # not a cell max). The margin bounds how much the estimate may
+    # UNDERSTATE true sigma before a true-T>1e-4 sample could be culled.
+    # Default 3x is conservative for mid-training EMAs; at EVAL the field
+    # is frozen and the grid freshly refreshed, so the estimate is near
+    # exact and the margin mostly inflates the shade budget (the ball
+    # frame shades ~27 samples/ray where T dies at ~9 — r5b t1 walls put
+    # the shade stage at ~70% of the frame). DFTPU_EVAL_LIVE_MARGIN A/Bs
+    # tighter values.
+    _LIVE_LOGT = float(os.environ.get("DFTPU_EVAL_LIVE_MARGIN",
+                                      "3.0")) * 9.2103
 
     # (The round-4 short-window march policy — march a short lattice window
     # first, re-march unsaturated groups — measured 0.664 FPS vs 1.02 at
@@ -824,7 +838,8 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
             else:
                 Kb = _pick_K_bucket(float(maxc), cfg.grid_K)
                 image, depth, ws = get_shade(Kb, with_bg,
-                                             int(shading_code))(
+                                             int(shading_code),
+                                             slice_paste=True)(
                     params, image, depth, ws, start, ts[sl], dts[sl],
                     valid[sl], o_s[sl], d_s[sl], nears_s[sl], fars_s[sl],
                     ambient_ratio, light_d, bg)

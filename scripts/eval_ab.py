@@ -36,10 +36,17 @@ CONFIGS = {
     "timing_scatter": {"DFTPU_EVAL_TIMING": "1", "DFTPU_EVAL_SCATTER": "1"},
     "timing_g4096": {"DFTPU_EVAL_TIMING": "1", "DFTPU_EVAL_GROUP": "4096"},
     "f32tab": {"_f32tab": "1"},       # cfg flag, not env
+    # live-margin ladder on top of the measured-best g4096+scatter combo
+    "m20": {"DFTPU_EVAL_GROUP": "4096", "DFTPU_EVAL_SCATTER": "1",
+            "DFTPU_EVAL_LIVE_MARGIN": "2.0"},
+    "m15": {"DFTPU_EVAL_GROUP": "4096", "DFTPU_EVAL_SCATTER": "1",
+            "DFTPU_EVAL_LIVE_MARGIN": "1.5"},
+    "m12": {"DFTPU_EVAL_GROUP": "4096", "DFTPU_EVAL_SCATTER": "1",
+            "DFTPU_EVAL_LIVE_MARGIN": "1.2"},
 }
 
 _LEVER_KEYS = ("DFTPU_EVAL_SCATTER", "DFTPU_EVAL_GROUP",
-               "DFTPU_EVAL_TIMING")
+               "DFTPU_EVAL_TIMING", "DFTPU_EVAL_LIVE_MARGIN")
 
 
 def main():

@@ -162,7 +162,7 @@ def main():
         for tsi, dtsi, vi, di in inputs:
             outs.append(full(params, tsi, dtsi, vi, o, di, nears, fars))
             outs.append(density_only(params, x_c))
-        return outs[-1]
+        return outs[-2]           # the last shade image (density is a dict)
 
     out = alternating()
     _ = float(jnp.sum(out))
