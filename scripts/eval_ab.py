@@ -43,6 +43,8 @@ CONFIGS = {
             "DFTPU_EVAL_LIVE_MARGIN": "1.5"},
     "m12": {"DFTPU_EVAL_GROUP": "4096", "DFTPU_EVAL_SCATTER": "1",
             "DFTPU_EVAL_LIVE_MARGIN": "1.2"},
+    "m10": {"DFTPU_EVAL_GROUP": "4096", "DFTPU_EVAL_SCATTER": "1",
+            "DFTPU_EVAL_LIVE_MARGIN": "1.0"},
 }
 
 _LEVER_KEYS = ("DFTPU_EVAL_SCATTER", "DFTPU_EVAL_GROUP",
@@ -90,6 +92,7 @@ def main():
     rays_fn = trainer._get_test_rays_fn(100, H, W)
     from dreamfusion_tpu import cameras
 
+    ref_img = None        # first config's last frame: quality reference
     for name in args.configs.split(","):
         patch = dict(CONFIGS[name])
         use_f32tab = patch.pop("_f32tab", None)
@@ -113,9 +116,16 @@ def main():
                 walls.append(time.perf_counter() - t0)
                 print(f"  {name} frame {f}: {walls[-1]:.3f} s", flush=True)
             dt = sum(walls[2:]) / args.frames
-            print(json.dumps({"config": name, "H": H,
-                              "sec_per_frame": round(dt, 3),
-                              "fps": round(1.0 / dt, 4)}), flush=True)
+            rec = {"config": name, "H": H, "sec_per_frame": round(dt, 3),
+                   "fps": round(1.0 / dt, 4)}
+            img = out["image"]
+            if ref_img is None:
+                ref_img = img
+            else:    # truncation-lever quality: delta vs first config
+                d_ = jnp.abs(img - ref_img)
+                rec["img_mean_abs_delta"] = round(float(jnp.mean(d_)), 7)
+                rec["img_max_abs_delta"] = round(float(jnp.max(d_)), 5)
+            print(json.dumps(rec), flush=True)
         finally:
             for k, v in old.items():
                 if v is None:
