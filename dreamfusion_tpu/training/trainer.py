@@ -522,14 +522,18 @@ def make_staged_grid_eval(cfg: Config, model: _BaseNeRF, H: int, W: int,
     # log-space safety margin (the sigma EMA is a decayed point sample,
     # not a cell max). The margin bounds how much the estimate may
     # UNDERSTATE true sigma before a true-T>1e-4 sample could be culled.
-    # Default 3x is conservative for mid-training EMAs; at EVAL the field
-    # is frozen and the grid freshly refreshed, so the estimate is near
-    # exact and the margin mostly inflates the shade budget (the ball
-    # frame shades ~27 samples/ray where T dies at ~9 — r5b t1 walls put
-    # the shade stage at ~70% of the frame). DFTPU_EVAL_LIVE_MARGIN A/Bs
-    # tighter values.
+    # At EVAL the field is frozen and the grid freshly refreshed, so the
+    # estimate is near exact and a large margin mostly inflates the shade
+    # budget (the ball frame shades ~27 samples/ray where T dies at ~9 —
+    # r5b t1 walls put the shade stage at ~70% of the frame). Margin
+    # ladder measured at 800^2 (in-process same tree): 3.0 -> 1.647,
+    # 2.0 -> 1.962, 1.5 -> 1.998, 1.2 -> 2.443, 1.0 -> 2.415 FPS; the
+    # 1.2 image differs from the 3.0 image by max 5.2e-4 (mean < 1e-7) —
+    # culled tails carry ~T_thresh-level weight by construction. Between
+    # refreshes the EMA can go stale-HIGH only by the 0.95 decay per
+    # 16-step refresh, which 1.2 covers for ~4 consecutive shrink cycles.
     _LIVE_LOGT = float(os.environ.get("DFTPU_EVAL_LIVE_MARGIN",
-                                      "3.0")) * 9.2103
+                                      "1.2")) * 9.2103
 
     # (The round-4 short-window march policy — march a short lattice window
     # first, re-march unsaturated groups — measured 0.664 FPS vs 1.02 at

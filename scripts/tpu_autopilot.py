@@ -190,14 +190,13 @@ STAGES = {
     #   s9_eval_bf16p — bf16 density probes measured 1.0115 vs 1.0204 FPS;
     #     lever removed.
 }
-# Round-5 plan (tree: restructured staged eval, commits d792e96+635eeb0).
-# s1 first compiles + warms BOTH train and eval programs of the new tree
-# (long deadline absorbs the cold compiles), then the eval A/Bs decide the
-# two 635eeb0 levers, then the three stale train levers get their one
-# settled-cache measurement each (VERDICT r4 next #4: flip or delete).
-STAGE_ORDER = ["s1_bench", "s6_eval800", "e5_eval_scatter", "e3_eval_g16k",
-               "e4_eval_g32k", "s7_vae", "s7b_vae_gnbf16",
-               "s5_train_trace", "s2_nocompact"]
+# Round-5 final plan. The r5b session DECIDED (scripts/eval_ab.py,
+# NOTES r5b): scatter frame ON, group 4096, live margin (see trainer),
+# GN bf16 ON, eval_table_bf16 stays ON, col-gather and the bf16-train-
+# table + short-march + bf16-probe levers REMOVED. Remaining useful
+# stages: the full bench (re-warms the cache for the driver), the train
+# trace, and the compaction confirmation.
+STAGE_ORDER = ["s1_bench", "s5_train_trace", "s2_nocompact"]
 
 
 # Paths whose content determines the measured programs. NOTES.md / docs /
