@@ -159,36 +159,17 @@ STAGES = {
     "s5_train_trace": ([PY, "bench.py", "--skip_eval", "--profile",
                         os.path.join(STATE_DIR, "prof_train"),
                         "--deadline", "1500"], 1700, None),
-    # eval residual attribution after the r3d restructure.
-    "s6_eval800": ([PY, "scripts/profile_eval.py", "--ball", "--H", "800",
-                    "--out", os.path.join(STATE_DIR, "trace_eval800")],
-                   1800, None),
-    # VAE encode re-diagnosis (57.5 ms fwd+bwd @512^2, 27% MXU).
-    "s7_vae": ([PY, "scripts/mb_sd_vae.py"], 1200, None),
-    # GroupNorm bf16-output A/B (halves the HBM bytes of every norm output
-    # at activation scale; stats stay f32 — see layers.GN_DTYPE).
-    "s7b_vae_gnbf16": ([PY, "scripts/mb_sd_vae.py"], 1200,
-                       {"DFTPU_GN_DTYPE": "bf16"}),
-    # scatter-assembled frame A/B (r5b: no full-frame payload permute,
-    # no unsort; flagged groups gather by sorted ray index).
-    "e5_eval_scatter": ([PY, "scripts/profile_eval.py", "--ball", "--H",
-                         "800", "--out",
-                         os.path.join(STATE_DIR, "trace_eval800_scatter")],
-                        2400, {"DFTPU_EVAL_SCATTER": "1"}),
-    # shade/march group-size A/B: larger groups cut per-frame dispatch
-    # count (~2 per flagged group) at the cost of coarser bucket ladders.
-    "e3_eval_g16k": ([PY, "scripts/profile_eval.py", "--ball", "--H", "800",
-                      "--no_trace"], 2400, {"DFTPU_EVAL_GROUP": "16384"}),
-    "e4_eval_g32k": ([PY, "scripts/profile_eval.py", "--ball", "--H", "800",
-                      "--no_trace"], 2400, {"DFTPU_EVAL_GROUP": "32768"}),
-    # RETIRED round 4 (kept out of STAGES so config cannot drift from the
-    # tree, ADVICE r4):
-    #   s8_scatter_t — binned-t measured 5.092 vs 4.487 it/s and is now
-    #     the production default (DFTPU_SCATTER_IMPL no longer needed);
-    #   s10_eval_short — short-window march measured 0.664 FPS vs 1.02
-    #     baseline at 800^2 (the re-march fallback while-loop dominated);
-    #   s9_eval_bf16p — bf16 density probes measured 1.0115 vs 1.0204 FPS;
-    #     lever removed.
+    # RETIRED r4: s8_scatter_t (binned-t won, now default), s10_eval_short
+    # (lost 0.664 vs 1.02 FPS), s9_eval_bf16p (no win) — levers removed.
+    # RETIRED r5b — every A/B DECIDED via scripts/eval_ab.py (fast
+    # in-process harness; single-lever profile_eval runs pay ~16 min of
+    # startup each and are only worth it when a trace is needed):
+    #   s6_eval800 / e5_eval_scatter / e3,e4 group sizes — scatter frame
+    #     + group 4096 are the defaults now (1.643 vs 1.548 FPS);
+    #   s7/s7b VAE GN — bf16 output default (44.5 vs 57.5 ms encode).
+    # NOTE for per-op trace users: perfetto op durations over this tunnel
+    # carry a ~18 ms quantum (NOTES r5b) — trust DFTPU_EVAL_TIMING stage
+    # walls and the mb_* microbenches instead.
 }
 # Round-5 final plan. The r5b session DECIDED (scripts/eval_ab.py,
 # NOTES r5b): scatter frame ON, group 4096, live margin (see trainer),
